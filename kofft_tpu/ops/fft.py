@@ -1,0 +1,320 @@
+"""Core complex FFT engine: MXU matmul DFT + recursive four-step, with
+backend dispatch and Bluestein fallback for non-smooth sizes.
+
+This is the TPU-native replacement for the reference's FFT heart
+(``src/fft.rs``): its strategy dispatch (size<=16 unrolled kernel ->
+power-of-two Stockham -> Bluestein, ``src/fft.rs:1054-1133``) becomes
+
+    n <= dft_cutoff      -> direct DFT matmul on the MXU (DftLeaf)
+    smooth n > cutoff    -> recursive Bailey four-step (FourStepNode)
+    non-smooth n         -> Bluestein chirp-Z over the pow2 path
+
+and its SIMD-backend runtime factory ``new_fft_impl`` (``src/fft.rs:1954-1985``,
+avx512->avx2->sse2->neon->simd128->scalar) becomes the backend registry here
+(pallas -> xla -> jnpfft -> naive), selected per platform at call time.
+
+SoA-first: the whole engine computes on split (re, im) float planes — the
+TPU analog of the reference's ``SplitComplex`` layout (``src/num.rs:236-330``)
+— and only materializes complex dtypes at API boundaries. On TPU transports
+that cannot move complex buffers across executable boundaries at all, eager
+calls transparently fall back to plane transfers and return host numpy
+(probe: ``complex_io_supported``).
+
+Normalization follows numpy: forward unscaled, inverse 1/n ("backward"),
+matching the reference (``ifft`` scales by 1/n, ``src/fft.rs:1142-1161``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+
+from ..config import get_config
+from ..errors import (EmptyInputError, InvalidValueError,
+                      MismatchedLengthsError, require)
+from ..plan import (DftLeaf, FourStepNode, build_factor_tree, is_smooth,
+                    tables)
+from ._complex import cmatmul_last, cmul, merge, split
+
+_NORMS = (None, "backward", "ortho", "forward")
+
+
+# --------------------------------------------------------------------------
+# engine: recursive four-step over SoA planes (transform along last axis)
+# --------------------------------------------------------------------------
+
+def _apply_tree(xr, xi, tree, dtype: str):
+    """Apply the DFT described by ``tree`` along the last axis of (xr, xi)."""
+    if isinstance(tree, DftLeaf):
+        fr, fi = tables.dft_matrix(tree.n, dtype)
+        return cmatmul_last(xr, xi, fr, fi)
+
+    assert isinstance(tree, FourStepNode)
+    n1, n2 = tree.n1, tree.n2
+    batch = xr.shape[:-1]
+    # A[j1, j2] = x[j1*n2 + j2]
+    ar = xr.reshape(*batch, n1, n2)
+    ai = xi.reshape(*batch, n1, n2)
+    # step 1: DFT_{n1} over j1 — move j1 last, recurse
+    ar = jnp.swapaxes(ar, -1, -2)  # (..., j2, j1)
+    ai = jnp.swapaxes(ai, -1, -2)
+    br, bi = _apply_tree(ar, ai, tree.left, dtype)  # (..., j2, k1)
+    # step 2: twiddle W[k1, j2] = w_n^{k1 j2}; our layout is (..., j2, k1)
+    twr, twi = tables.twiddle(n1, n2, dtype)  # (n1, n2) numpy constants
+    cr, ci = cmul(br, bi, twr.T, twi.T)
+    # step 3: DFT_{n2} over j2 — move j2 last, recurse
+    cr = jnp.swapaxes(cr, -1, -2)  # (..., k1, j2)
+    ci = jnp.swapaxes(ci, -1, -2)
+    dr, di = _apply_tree(cr, ci, tree.right, dtype)  # (..., k1, k2)
+    # step 4: X[k1 + n1*k2] = D[k1, k2] -> flatten (..., k2, k1)
+    dr = jnp.swapaxes(dr, -1, -2).reshape(*batch, tree.n)
+    di = jnp.swapaxes(di, -1, -2).reshape(*batch, tree.n)
+    return dr, di
+
+
+def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str):
+    """Unnormalized forward/inverse DFT on SoA planes along the last axis
+    (inverse returns n * ifft). Inverse uses the conjugation identity
+    n*ifft(x) = conj(fft(conj(x))) so all constants are shared with the
+    forward plan (as the reference reuses forward twiddles with conjugated
+    access, ``src/fft.rs:1142-1161``)."""
+    if inverse:
+        yr, yi = _fft_planes(xr, -xi, n, False, backend, dtype)
+        return yr, -yi
+
+    if backend == "naive":
+        fr, fi = tables.dft_matrix(n, dtype)
+        return cmatmul_last(xr, xi, fr, fi)
+
+    if is_smooth(n):
+        tree = build_factor_tree(n)
+        return _apply_tree(xr, xi, tree, dtype)
+
+    from .bluestein import _bluestein_planes
+    return _bluestein_planes(xr, xi, n, dtype)
+
+
+def _norm_scale(n: int, norm: Optional[str], inverse: bool) -> Optional[float]:
+    """Scale to apply to the *unnormalized* engine output (inverse = n*ifft)."""
+    if norm in (None, "backward"):
+        return (1.0 / n) if inverse else None
+    if norm == "ortho":
+        return 1.0 / (n ** 0.5)
+    if norm == "forward":
+        return (1.0 / n) if not inverse else None
+    raise InvalidValueError(f"norm must be one of {_NORMS}, got {norm!r}")
+
+
+# --------------------------------------------------------------------------
+# backend resolution + traced entries
+# --------------------------------------------------------------------------
+
+def resolve_backend(backend: Optional[str] = None) -> str:
+    """Resolve 'auto' to a concrete backend for the current platform.
+
+    Analog of the reference's runtime CPU-feature factory ``new_fft_impl``
+    (``src/fft.rs:1954-1985``)."""
+    cfg = get_config()
+    b = backend or cfg.backend
+    if b != "auto":
+        return b
+    platform = jax.default_backend()
+    if platform == "tpu" and cfg.enable_pallas:
+        return "pallas"
+    return "xla"
+
+
+def _fft_traced_planes(xr, xi, n: int, inverse: bool, norm: Optional[str],
+                       backend: str):
+    """Traceable planes->planes DFT along the last axis, normalized."""
+    dtype = str(xr.dtype)
+    if backend == "jnpfft":
+        x = merge(xr, xi)
+        y = jnp.fft.ifft(x) * n if inverse else jnp.fft.fft(x)
+        yr, yi = jnp.real(y), jnp.imag(y)
+    elif backend == "pallas":
+        from .pallas_fft import pallas_supported, pallas_fft_planes
+        if pallas_supported(n, dtype):
+            yr, yi = pallas_fft_planes(xr, xi, n, inverse)
+        else:
+            yr, yi = _fft_planes(xr, xi, n, inverse, "xla", dtype)
+    else:
+        yr, yi = _fft_planes(xr, xi, n, inverse, backend, dtype)
+    s = _norm_scale(n, norm, inverse)
+    if s is not None:
+        yr, yi = yr * s, yi * s
+    return yr, yi
+
+
+def _fft_traced(x, n: int, inverse: bool, norm: Optional[str], backend: str):
+    """Traceable complex->complex DFT along the last axis."""
+    xr, xi = split(x)
+    return merge(*_fft_traced_planes(xr, xi, n, inverse, norm, backend))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_entry(n: int, inverse: bool, norm: Optional[str], backend: str):
+    """One jitted callable per (n, inverse, norm, backend) — JAX's shape
+    cache adds the batch dims. This is the plan/executable cache: warm calls
+    do zero Python-side work beyond a dict hit (the reference's zero-alloc
+    warm-call discipline, ``tests/bluestein.rs:60-66``)."""
+    return jax.jit(functools.partial(_fft_traced, n=n, inverse=inverse,
+                                     norm=norm, backend=backend))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_entry_pp(n: int, inverse: bool, norm: Optional[str],
+                     backend: str):
+    """Planes-in/planes-out variant: complex data crosses the host<->device
+    boundary as separate float planes (required on transports without
+    complex buffer support; also the Pallas calling convention)."""
+    return jax.jit(functools.partial(_fft_traced_planes, n=n, inverse=inverse,
+                                     norm=norm, backend=backend))
+
+
+@functools.lru_cache(maxsize=1)
+def complex_io_supported() -> bool:
+    """Whether complex buffers can cross executable boundaries on this
+    platform. Tunneled single-chip TPU attachments (axon relay) cannot
+    transfer or re-feed complex arrays — and *attempting* one wedges the
+    session, so this is detected from the transport marker, not probed.
+    Compute with complex values inside one executable is always fine."""
+    import os
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    return True
+
+
+def _is_tracer(x) -> bool:
+    return isinstance(x, jax.core.Tracer)
+
+
+def _prep(x, n: Optional[int], axis: int):
+    """Move axis last, pad/trim to n (numpy semantics). Returns (x, n).
+    Host numpy inputs stay numpy (so complex data can cross the device
+    boundary as planes); jax arrays/tracers stay jax."""
+    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    xp = _np if host else jnp
+    x = xp.asarray(x)
+    require(x.ndim >= 1, EmptyInputError, "input must have at least 1 dim")
+    ax = axis if axis >= 0 else x.ndim + axis
+    require(0 <= ax < x.ndim, InvalidValueError,
+            f"axis {axis} out of range for ndim {x.ndim}")
+    if ax != x.ndim - 1:
+        x = xp.moveaxis(x, ax, -1)
+    m = x.shape[-1]
+    require(m >= 1 or (n is not None and n >= 1), EmptyInputError,
+            "FFT input must be non-empty")
+    if n is not None:
+        require(n >= 1, InvalidValueError, f"n must be >= 1, got {n}")
+        if n < m:
+            x = x[..., :n]
+        elif n > m:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, n - m)]
+            x = xp.pad(x, pad)
+        m = n
+    return x, m
+
+
+def _planes_of(x):
+    """Split any host/device array into float planes without complex
+    transfers."""
+    if isinstance(x, _np.ndarray):
+        if _np.iscomplexobj(x):
+            re = _np.ascontiguousarray(x.real)
+            im = _np.ascontiguousarray(x.imag)
+            if re.dtype == _np.float64:
+                re, im = re.astype(_np.float32), im.astype(_np.float32)
+            return re, im
+        re = x.astype(_np.float32) if x.dtype == _np.float64 else x
+        return re, _np.zeros_like(re)
+    return split(x)
+
+
+def _dispatch(x, n, axis, norm, inverse, backend):
+    require(norm in _NORMS, InvalidValueError,
+            f"norm must be one of {_NORMS}, got {norm!r}")
+    b = resolve_backend(backend)
+    x, m = _prep(x, n, axis)
+    if _is_tracer(x):
+        y = _fft_traced(x, m, inverse, norm, b)
+    elif not complex_io_supported():
+        # plane-transfer fallback: compute on device, return host numpy
+        xr, xi = _planes_of(x)
+        yr, yi = _jitted_entry_pp(m, inverse, norm, b)(xr, xi)
+        y = _np.asarray(yr) + 1j * _np.asarray(yi)
+    elif isinstance(x, _np.ndarray) and _np.iscomplexobj(x):
+        xr = _np.ascontiguousarray(x.real)
+        xi = _np.ascontiguousarray(x.imag)
+        yr, yi = _jitted_entry_pp(m, inverse, norm, b)(xr, xi)
+        y = merge(yr, yi)
+    else:
+        y = _jitted_entry(m, inverse, norm, b)(x)
+    ax = axis if axis >= 0 else y.ndim + axis
+    if ax != y.ndim - 1:
+        xp = _np if isinstance(y, _np.ndarray) else jnp
+        y = xp.moveaxis(y, -1, ax)
+    return y
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def fft(x, n: Optional[int] = None, axis: int = -1,
+        norm: Optional[str] = None, backend: Optional[str] = None):
+    """Complex DFT along ``axis``.
+
+    Reference API surface: ``FftImpl::fft`` (``src/fft.rs:466-587``). The
+    in-place/scratch variants of the reference collapse into this single
+    functional entry point; XLA buffer donation supplies the zero-copy
+    spirit when used under ``jax.jit(..., donate_argnums=...)``.
+    """
+    return _dispatch(x, n, axis, norm, inverse=False, backend=backend)
+
+
+def ifft(x, n: Optional[int] = None, axis: int = -1,
+         norm: Optional[str] = None, backend: Optional[str] = None):
+    """Inverse complex DFT along ``axis`` (1/n backward normalization,
+    matching reference ``ifft``, ``src/fft.rs:1142-1161``)."""
+    return _dispatch(x, n, axis, norm, inverse=True, backend=backend)
+
+
+def fft_split(xr, xi, inverse: bool = False, norm: Optional[str] = None,
+              backend: Optional[str] = None):
+    """SoA split-complex FFT along the last axis: (re, im) planes in,
+    (re, im) planes out. Parity with the reference's split-(re,im) API
+    (``SplitComplex`` fft variants, ``src/fft.rs:466-587``); also the
+    native calling convention for Pallas kernels and for transports that
+    cannot move complex dtypes across the host boundary. Traceable."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    require(xr.shape == xi.shape, MismatchedLengthsError,
+            f"re/im plane shapes differ: {xr.shape} vs {xi.shape}")
+    require(xr.ndim >= 1 and xr.shape[-1] >= 1, EmptyInputError,
+            "FFT input must be non-empty")
+    n = xr.shape[-1]
+    b = resolve_backend(backend)
+    if _is_tracer(xr) or _is_tracer(xi):
+        return _fft_traced_planes(xr, xi, n, inverse, norm, b)
+    return _jitted_entry_pp(n, inverse, norm, b)(xr, xi)
+
+
+def ifft_split(xr, xi, norm: Optional[str] = None,
+               backend: Optional[str] = None):
+    return fft_split(xr, xi, inverse=True, norm=norm, backend=backend)
+
+
+def fft_batch(xs, backend: Optional[str] = None):
+    """Batch FFT over the leading dim (reference ``fft_batch``,
+    ``src/fft.rs:2156-2191``) — on TPU the batch is just leading array dims;
+    provided for API parity."""
+    return fft(xs, axis=-1, backend=backend)
+
+
+def ifft_batch(xs, backend: Optional[str] = None):
+    return ifft(xs, axis=-1, backend=backend)

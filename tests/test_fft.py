@@ -1,0 +1,160 @@
+"""Complex FFT parity vs the float64 naive-DFT oracle.
+
+Mirrors the reference's oracle discipline: every optimized path is checked
+against a naive DFT (reference ``tests/stockham_parity.rs``,
+``tests/bluestein.rs:33-66``) plus analytic vectors (impulse / ones / cosine,
+reference ``src/lib.rs:160-479``) and roundtrip drift bounds
+(``src/lib.rs:408-429``).
+"""
+
+import numpy as np
+import pytest
+
+import kofft_tpu as kt
+from kofft_tpu.ops.dft import dft, snr_db
+
+# smooth sizes across strategies: tiny leaf, leaf, four-step, deep four-step,
+# mixed radix; plus non-smooth (Bluestein) sizes incl. primes
+SMOOTH_SIZES = [1, 2, 4, 8, 16, 64, 128, 256, 1024, 2048, 4096, 8192,
+                6, 12, 60, 360, 1000, 1536, 2187, 3125]
+BLUESTEIN_SIZES = [17, 97, 211, 509, 1009, 1021]
+
+SNR_FLOOR_DB = 100.0  # f32 engine vs f64 oracle
+
+
+def _rand_complex(rng, shape):
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+
+
+@pytest.mark.parametrize("n", SMOOTH_SIZES + BLUESTEIN_SIZES)
+def test_fft_matches_oracle(rng, n):
+    x = _rand_complex(rng, (3, n))
+    got = np.asarray(kt.fft(x))
+    ref = dft(x)
+    assert snr_db(ref, got) > SNR_FLOOR_DB, f"n={n}"
+
+
+@pytest.mark.parametrize("n", [16, 1024, 4096, 360, 97])
+def test_ifft_roundtrip(rng, n):
+    x = _rand_complex(rng, (2, n))
+    y = kt.ifft(kt.fft(x))
+    assert snr_db(x, np.asarray(y)) > SNR_FLOOR_DB
+
+
+@pytest.mark.parametrize("n", [64, 1024, 97])
+def test_repeated_roundtrip_drift(rng, n):
+    """10x fft->ifft drift bound (reference src/lib.rs:408-429)."""
+    x = _rand_complex(rng, (n,))
+    y = x
+    for _ in range(10):
+        y = kt.ifft(kt.fft(y))
+    assert snr_db(x, np.asarray(y)) > SNR_FLOOR_DB - 20
+
+
+def test_impulse():
+    x = np.zeros(256, np.complex64)
+    x[0] = 1.0
+    y = np.asarray(kt.fft(x))
+    np.testing.assert_allclose(y, np.ones(256), atol=1e-5)
+
+
+def test_ones():
+    x = np.ones(128, np.complex64)
+    y = np.asarray(kt.fft(x))
+    expect = np.zeros(128, np.complex128)
+    expect[0] = 128.0
+    np.testing.assert_allclose(y, expect, atol=1e-3)
+
+
+def test_cosine_bins():
+    n = 512
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * 7 * t / n).astype(np.complex64)
+    y = np.asarray(kt.fft(x))
+    mag = np.abs(y)
+    assert mag[7] == pytest.approx(n / 2, rel=1e-4)
+    assert mag[n - 7] == pytest.approx(n / 2, rel=1e-4)
+    mask = np.ones(n, bool)
+    mask[[7, n - 7]] = False
+    assert mag[mask].max() < 1e-2
+
+
+@pytest.mark.parametrize("norm", ["backward", "ortho", "forward"])
+def test_norm_modes(rng, norm):
+    n = 256
+    x = _rand_complex(rng, (n,))
+    got = np.asarray(kt.fft(x, norm=norm))
+    ref = np.fft.fft(x.astype(np.complex128), norm=norm)
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+    back = np.asarray(kt.ifft(got, norm=norm))
+    assert snr_db(x, back) > SNR_FLOOR_DB
+
+
+def test_axis_and_n_param(rng):
+    x = _rand_complex(rng, (5, 64, 3))
+    got = np.asarray(kt.fft(x, axis=1))
+    ref = dft(x, axis=1)
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+    # pad + truncate semantics match numpy
+    got = np.asarray(kt.fft(x, n=128, axis=1))
+    ref = np.fft.fft(x.astype(np.complex128), n=128, axis=1)
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+    got = np.asarray(kt.fft(x, n=32, axis=1))
+    ref = np.fft.fft(x.astype(np.complex128), n=32, axis=1)
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+
+
+def test_real_input_promoted(rng):
+    x = rng.standard_normal(256).astype(np.float32)
+    got = np.asarray(kt.fft(x))
+    ref = np.fft.fft(x.astype(np.float64))
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+
+
+def test_backend_parity(rng):
+    """All backends agree (reference tests/fft_arch_parity.rs:8-39)."""
+    n = 1024
+    x = _rand_complex(rng, (2, n))
+    ref = dft(x)
+    for b in ("xla", "jnpfft", "naive"):
+        got = np.asarray(kt.fft(x, backend=b))
+        assert snr_db(ref, got) > SNR_FLOOR_DB, b
+
+
+def test_empty_input_raises():
+    with pytest.raises(kt.KofftError):
+        kt.fft(np.zeros((0,), np.complex64))
+
+
+def test_bad_norm_raises():
+    with pytest.raises(kt.KofftError):
+        kt.fft(np.zeros(8, np.complex64), norm="bogus")
+
+
+def test_jit_composability(rng):
+    """kt.fft is traceable inside user jit."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return jnp.abs(kt.fft(x))
+
+    x = _rand_complex(rng, (4, 128))
+    got = np.asarray(f(x))
+    ref = np.abs(dft(x))
+    assert snr_db(ref, got) > SNR_FLOOR_DB
+
+
+def test_warm_call_no_retrace(rng):
+    """Plan/executable cache discipline: second call hits the jit cache
+    (analog of the reference's zero-alloc warm-call tests,
+    tests/bluestein.rs:60-66)."""
+    from kofft_tpu.ops.fft import _jitted_entry
+    x = _rand_complex(rng, (2, 96))
+    kt.fft(x)
+    f = _jitted_entry(96, False, None, "xla")
+    n0 = f._cache_size()
+    kt.fft(x)
+    assert f._cache_size() == n0
