@@ -16,7 +16,24 @@ from .errors import (KofftError, EmptyInputError,  # noqa: F401
 from .ops.fft import (fft, ifft, fft_batch, ifft_batch,  # noqa: F401
                       fft_split, ifft_split)
 from .ops.rfft import rfft, irfft, rfft_split, irfft_split  # noqa: F401
+from .ops.ndfft import fft2, ifft2, fft3, ifft3, fftn, ifftn  # noqa: F401
+from .ops.stft import (stft, istft, stft_split, istft_split,  # noqa: F401
+                       StftStream, IstftStream)
+from .ops.dct import dct, idct, dct1, dct2, dct3, dct4  # noqa: F401
+from .ops.dst import dst, dst1, dst2, dst3, dst4  # noqa: F401
+from .ops.hartley import dht  # noqa: F401
+from .ops.hilbert import hilbert, hilbert_analytic  # noqa: F401
+from .ops.czt import czt, czt_fast  # noqa: F401
+from .ops.goertzel import (goertzel, goertzel_bins,  # noqa: F401
+                           goertzel_scan)
+from .ops.cepstrum import real_cepstrum, mel_filterbank, mfcc  # noqa: F401
+from .ops.wavelet import (haar_forward, haar_inverse,  # noqa: F401
+                          wavelet_forward, wavelet_inverse,
+                          multi_level_forward, multi_level_inverse,
+                          dwt, idwt, dwt_multi, idwt_multi)
+from . import visual  # noqa: F401
 from .ops import window  # noqa: F401
 from .utils.transfer import asnumpy  # noqa: F401
+from . import parallel  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,5 +1,10 @@
-"""kofft_tpu.ops — transform kernels and compositions."""
+"""kofft_tpu.ops — transform submodules.
 
-from .fft import fft, ifft, fft_batch, ifft_batch, resolve_backend  # noqa: F401
-from .rfft import rfft, irfft, rfft_split, irfft_split  # noqa: F401
-from . import window  # noqa: F401
+Function-level API is re-exported at the package top level
+(``kofft_tpu.fft`` etc.); this namespace keeps the submodules themselves
+(``kofft_tpu.ops.stft`` is the module, ``kofft_tpu.stft`` the function).
+"""
+
+from . import (bluestein, cepstrum, czt, dct, dft, dst, fft,  # noqa: F401
+               goertzel, hartley, hilbert, ndfft, rfft, stft, wavelet,
+               window)

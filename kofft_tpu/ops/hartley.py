@@ -1,0 +1,55 @@
+"""Discrete Hartley Transform.
+
+Reference: ``src/hartley.rs:12-46`` — naive O(n^2) cas-kernel loop. On TPU
+the DHT is the composite DHT(x) = Re(FFT(x)) - Im(FFT(x)) over the matmul
+FFT engine (cas(t) = cos t + sin t and FFT uses cos t - i sin t), so every
+FFT strategy (four-step, Bluestein) is inherited for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import EmptyInputError, require
+from .fft import _fft_planes, _is_tracer, resolve_backend
+
+__all__ = ["dht", "dht_batch", "dht_multi_channel"]
+
+
+def _dht_traced(x, backend: str):
+    n = x.shape[-1]
+    yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend,
+                         str(x.dtype))
+    return yr - yi
+
+
+@functools.lru_cache(maxsize=None)
+def _jit(n: int, backend: str):
+    return jax.jit(functools.partial(_dht_traced, backend=backend))
+
+
+def dht(x, backend: Optional[str] = None):
+    """DHT along the last axis: X_k = sum_i x_i cas(2*pi*i*k/n)."""
+    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
+            "DHT input must be non-empty")
+    b = resolve_backend(backend)
+    b = "xla" if b in ("jnpfft", "pallas") else b
+    if _is_tracer(x):
+        return _dht_traced(x, b)
+    return _jit(x.shape[-1], b)(x)
+
+
+def dht_batch(xs, backend: Optional[str] = None):
+    """Batch DHT (reference ``hartley.rs:48-57``)."""
+    return dht(xs, backend=backend)
+
+
+def dht_multi_channel(xs, backend: Optional[str] = None):
+    return dht(xs, backend=backend)

@@ -1,0 +1,136 @@
+"""N-D FFT (single device): per-axis batched 1-D transforms.
+
+Reference: ``src/ndfft.rs`` — 2-D/3-D FFT by row-column(-depth) decomposition
+over *strided* 1-D FFTs (``ndfft.rs:74-100``, ``:114-153``), whose
+gather/scatter hot spot is cache-hostile. The TPU formulation replaces
+strided access with moveaxis (XLA lays out/fuses the transpose) + the
+contiguous batched matmul engine per axis — the single most important
+architectural divergence from the reference (SURVEY.md §3.5). The
+mesh-sharded version with all-to-all lives in
+``kofft_tpu.parallel.ndfft_sharded``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import EmptyInputError, InvalidValueError, require
+from ._complex import merge
+from .fft import (_fft_planes, _is_tracer, complex_io_supported,
+                  resolve_backend)
+
+__all__ = ["fft2", "ifft2", "fft3", "ifft3", "fftn", "ifftn", "fftn_split"]
+
+
+def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
+    dtype = str(xr.dtype)
+    nd = xr.ndim
+    for ax in axes:
+        a = ax % nd
+        if a != nd - 1:
+            xr = jnp.moveaxis(xr, a, -1)
+            xi = jnp.moveaxis(xi, a, -1)
+        n = xr.shape[-1]
+        xr, xi = _fft_planes(xr, xi, n, inverse, backend, dtype)
+        if inverse:
+            xr, xi = xr / n, xi / n
+        if a != nd - 1:
+            xr = jnp.moveaxis(xr, -1, a)
+            xi = jnp.moveaxis(xi, -1, a)
+    return xr, xi
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fftn(shape: tuple, axes: tuple, inverse: bool, backend: str):
+    return jax.jit(functools.partial(_fftn_planes, axes=axes,
+                                     inverse=inverse, backend=backend))
+
+
+def _norm_axes(ndim: int, axes: Optional[Sequence[int]]) -> tuple:
+    if axes is None:
+        axes = tuple(range(ndim))
+    axes = tuple(int(a) % ndim for a in axes)
+    require(len(set(axes)) == len(axes), InvalidValueError,
+            f"repeated axes in {axes}")
+    return axes
+
+
+def fftn_split(xr, xi, axes: Optional[Sequence[int]] = None,
+               inverse: bool = False, backend: Optional[str] = None):
+    """N-D FFT on SoA planes (traceable)."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    require(xr.ndim >= 1, EmptyInputError, "fftn input must have >= 1 dim")
+    axes = _norm_axes(xr.ndim, axes)
+    b = resolve_backend(backend)
+    b = "xla" if b in ("jnpfft",) else b
+    if _is_tracer(xr) or _is_tracer(xi):
+        return _fftn_planes(xr, xi, axes, inverse, b)
+    return _jit_fftn(xr.shape, axes, inverse, b)(xr, xi)
+
+
+def _dispatch_nd(x, axes, inverse, backend):
+    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    if host:
+        x = np.asarray(x)
+        xr = np.ascontiguousarray(x.real).astype(np.float32)
+        xi = (np.ascontiguousarray(x.imag).astype(np.float32)
+              if np.iscomplexobj(x) else np.zeros_like(xr))
+    else:
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(x):
+            xr, xi = jnp.real(x), jnp.imag(x)
+        else:
+            xr, xi = x, jnp.zeros_like(x)
+    require(xr.ndim >= 1 and min(xr.shape) >= 1, EmptyInputError,
+            "fftn input must be non-empty")
+    axes = _norm_axes(xr.ndim, axes)
+    b = resolve_backend(backend)
+    b = "xla" if b in ("jnpfft",) else b
+    if _is_tracer(xr):
+        yr, yi = _fftn_planes(xr, xi, axes, inverse, b)
+        return merge(yr, yi)
+    yr, yi = _jit_fftn(xr.shape, axes, inverse, b)(xr, xi)
+    if host and not complex_io_supported():
+        return np.asarray(yr) + 1j * np.asarray(yi)
+    return merge(yr, yi)
+
+
+def fftn(x, axes: Optional[Sequence[int]] = None,
+         backend: Optional[str] = None):
+    """N-D FFT over ``axes`` (default: all)."""
+    return _dispatch_nd(x, axes, False, backend)
+
+
+def ifftn(x, axes: Optional[Sequence[int]] = None,
+          backend: Optional[str] = None):
+    return _dispatch_nd(x, axes, True, backend)
+
+
+def fft2(x, backend: Optional[str] = None):
+    """2-D FFT over the last two axes (reference ``fft2d_inplace``,
+    ``ndfft.rs:74-100``)."""
+    require(np.ndim(x) >= 2, InvalidValueError, "fft2 needs >= 2 dims")
+    return fftn(x, axes=(-2, -1), backend=backend)
+
+
+def ifft2(x, backend: Optional[str] = None):
+    require(np.ndim(x) >= 2, InvalidValueError, "ifft2 needs >= 2 dims")
+    return ifftn(x, axes=(-2, -1), backend=backend)
+
+
+def fft3(x, backend: Optional[str] = None):
+    """3-D FFT over the last three axes (reference ``fft3d_inplace``,
+    ``ndfft.rs:114-153``)."""
+    require(np.ndim(x) >= 3, InvalidValueError, "fft3 needs >= 3 dims")
+    return fftn(x, axes=(-3, -2, -1), backend=backend)
+
+
+def ifft3(x, backend: Optional[str] = None):
+    require(np.ndim(x) >= 3, InvalidValueError, "ifft3 needs >= 3 dims")
+    return ifftn(x, axes=(-3, -2, -1), backend=backend)

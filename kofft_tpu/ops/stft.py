@@ -1,0 +1,379 @@
+"""STFT / ISTFT: batch, streaming, and frame-level APIs.
+
+TPU-native build of the reference's ``src/stft.rs`` (925 LoC). The
+reference's per-frame loop (window-multiply, zero-pad, fft —
+``stft.rs:91-103``) becomes one gather into a frame matrix + one batched
+FFT on the MXU; its Rayon frame-parallel map (``stft.rs:232-343``) becomes
+the leading batch dims (shard the frame axis under a mesh for multi-chip —
+see ``kofft_tpu.parallel.stft_sharded``).
+
+Semantics (bit-matching the reference):
+  * frame count = ceil(N / hop); frame f starts at f*hop and is zero-padded
+    past the signal end (``stft.rs:88-100``),
+  * frames are full complex spectra of length win_len (``stft.rs:76-104``);
+    a one-sided rfft variant is provided for real pipelines,
+  * istft: inverse FFT each frame, multiply by synthesis window,
+    overlap-add, then normalize by the accumulated window-square where it
+    exceeds 1e-8 (``stft.rs:117-152``),
+  * streaming ISTFT emits ``hop`` samples per pushed frame and a
+    ``win_len - hop`` tail on flush (``stft.rs:453-519``); parity with the
+    offline path including the flush tail is tested
+    (reference ``tests/istft_stream.rs:5-49``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import (EmptyInputError, InvalidHopSizeError,
+                      MismatchedLengthsError, require)
+from ..plan import tables
+from ._complex import merge, split
+from .fft import _fft_planes, _is_tracer, complex_io_supported, resolve_backend
+from .rfft import _rfft_planes
+
+__all__ = ["stft", "istft", "stft_split", "istft_split", "frame_split",
+           "inverse_frame_split", "StftStream", "IstftStream", "num_frames"]
+
+
+def num_frames(n: int, hop: int) -> int:
+    """Frame count for a length-n signal: ceil(n / hop) (stft.rs:88)."""
+    return -(-n // hop)
+
+
+def _frame_indices(n_frames: int, win: int, hop: int) -> np.ndarray:
+    i = np.arange(n_frames, dtype=np.int32)[:, None] * hop
+    return i + np.arange(win, dtype=np.int32)[None, :]
+
+
+def _window_const(window) -> np.ndarray:
+    w = np.asarray(window, dtype=np.float32)
+    require(w.ndim == 1 and w.size >= 1, EmptyInputError,
+            "window must be a non-empty 1-D array")
+    return w
+
+
+def _ola_norm_const(win_sq: np.ndarray, n_frames: int, hop: int,
+                    length: int) -> np.ndarray:
+    """Accumulated window-square normalization buffer — a pure function of
+    (window, hop, frames, length), so computed on host as a constant
+    (the reference recomputes it in its scratch each call, stft.rs:140-146)."""
+    win = win_sq.shape[0]
+    norm = np.zeros(length, dtype=np.float64)
+    for f in range(n_frames):
+        s = f * hop
+        e = min(s + win, length)
+        if s < length:
+            norm[s:e] += win_sq[: e - s]
+    return norm.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# traced cores
+# --------------------------------------------------------------------------
+
+def _stft_planes(x, window_np: np.ndarray, hop: int, onesided: bool,
+                 backend: str):
+    """real (..., N) -> frame spectra planes (..., F, K)."""
+    win = window_np.shape[0]
+    n = x.shape[-1]
+    nf = num_frames(n, hop)
+    padded = (nf - 1) * hop + win
+    if padded > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
+        x = jnp.pad(x, pad)
+    idx = _frame_indices(nf, win, hop)
+    frames = x[..., idx] * window_np  # (..., F, win)
+    if onesided:
+        return _rfft_planes(frames, win, backend)
+    return _fft_planes(frames, jnp.zeros_like(frames), win, False, backend,
+                       str(frames.dtype))
+
+
+def _istft_planes(fr, fi, window_np: np.ndarray, hop: int, length: int,
+                  backend: str):
+    """frame spectra planes (..., F, win) -> real signal (..., length)."""
+    win = window_np.shape[0]
+    nf = fr.shape[-2]
+    dtype = str(fr.dtype)
+    # engine inverse is unnormalized (win * ifft)
+    tr, _ = _fft_planes(fr, fi, win, True, backend, dtype)
+    y = (tr / win) * window_np                       # (..., F, win)
+    idx = _frame_indices(nf, win, hop)               # (F, win)
+    out = jnp.zeros((*fr.shape[:-2], (nf - 1) * hop + win), dtype=y.dtype)
+    out = out.at[..., idx].add(y)
+    if out.shape[-1] < length:
+        pad = [(0, 0)] * (out.ndim - 1) + [(0, length - out.shape[-1])]
+        out = jnp.pad(out, pad)
+    else:
+        out = out[..., :length]
+    norm = _ola_norm_const(window_np * window_np, nf, hop, length)
+    return jnp.where(norm > 1e-8, out / jnp.where(norm > 1e-8, norm, 1.0),
+                     out)
+
+
+# --------------------------------------------------------------------------
+# jitted entries
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _jit_stft(win: int, hop: int, onesided: bool, backend: str,
+              window_key: tuple):
+    window_np = _window_cache[window_key]
+    return jax.jit(lambda x: _stft_planes(x, window_np, hop, onesided,
+                                          backend))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_istft(win: int, hop: int, length: int, backend: str,
+               window_key: tuple):
+    window_np = _window_cache[window_key]
+    return jax.jit(lambda fr, fi: _istft_planes(fr, fi, window_np, hop,
+                                                length, backend))
+
+
+_window_cache: dict[tuple, np.ndarray] = {}
+
+
+def _window_key(w: np.ndarray) -> tuple:
+    key = (w.shape[0], hash(w.tobytes()))
+    _window_cache.setdefault(key, w)
+    return key
+
+
+def _resolve_planes_backend(backend: Optional[str]) -> str:
+    b = resolve_backend(backend)
+    return "xla" if b in ("jnpfft",) else b
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def stft(signal, window, hop: int, onesided: bool = False,
+         backend: Optional[str] = None):
+    """STFT of a real signal: (..., N) -> complex frames (..., F, K) where
+    F = ceil(N/hop), K = win_len (or win_len//2+1 when ``onesided``).
+
+    Reference: ``stft`` (``src/stft.rs:76-104``)."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w = _window_const(window)
+    host = not isinstance(signal, (jax.Array, jax.core.Tracer))
+    x = np.asarray(signal, dtype=np.float32) if host else jnp.asarray(signal)
+    require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
+            "signal must be non-empty")
+    b = _resolve_planes_backend(backend)
+    if _is_tracer(x):
+        return merge(*_stft_planes(x, w, hop, onesided, b))
+    yr, yi = _jit_stft(w.shape[0], hop, onesided, b, _window_key(w))(x)
+    if not complex_io_supported():
+        return np.asarray(yr) + 1j * np.asarray(yi)
+    return merge(yr, yi)
+
+
+def istft(frames, window, hop: int, length: Optional[int] = None,
+          backend: Optional[str] = None):
+    """Inverse STFT with window-square overlap-add normalization.
+
+    ``frames``: complex (..., F, win_len). Returns real (..., length),
+    default length (F-1)*hop + win_len. Reference ``istft``
+    (``src/stft.rs:117-152``)."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w = _window_const(window)
+    win = w.shape[0]
+    host = not isinstance(frames, (jax.Array, jax.core.Tracer))
+    f = np.asarray(frames) if host else jnp.asarray(frames)
+    require(f.ndim >= 2, EmptyInputError, "frames must be (..., F, win)")
+    require(f.shape[-1] == win, MismatchedLengthsError,
+            f"frame length {f.shape[-1]} != window length {win}")
+    nf = f.shape[-2]
+    length = length if length is not None else (nf - 1) * hop + win
+    b = _resolve_planes_backend(backend)
+    if _is_tracer(f):
+        fr, fi = split(f)
+        return _istft_planes(fr, fi, w, hop, length, b)
+    if host:
+        fr = np.ascontiguousarray(f.real).astype(np.float32)
+        fi = np.ascontiguousarray(f.imag).astype(np.float32)
+    else:
+        fr, fi = split(f)
+    out = _jit_istft(win, hop, length, b, _window_key(w))(fr, fi)
+    if host and not complex_io_supported():
+        return np.asarray(out)
+    return out
+
+
+def stft_split(signal, window, hop: int, onesided: bool = False,
+               backend: Optional[str] = None):
+    """STFT returning SoA planes (traceable; Pallas/axon-native)."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w = _window_const(window)
+    x = jnp.asarray(signal)
+    b = _resolve_planes_backend(backend)
+    if _is_tracer(x):
+        return _stft_planes(x, w, hop, onesided, b)
+    return _jit_stft(w.shape[0], hop, onesided, b, _window_key(w))(x)
+
+
+def istft_split(fr, fi, window, hop: int, length: Optional[int] = None,
+                backend: Optional[str] = None):
+    """Inverse STFT from SoA planes (traceable)."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w = _window_const(window)
+    fr = jnp.asarray(fr)
+    fi = jnp.asarray(fi)
+    require(fr.shape == fi.shape, MismatchedLengthsError,
+            "re/im plane shapes differ")
+    nf = fr.shape[-2]
+    length = length if length is not None else (nf - 1) * hop + w.shape[0]
+    b = _resolve_planes_backend(backend)
+    if _is_tracer(fr):
+        return _istft_planes(fr, fi, w, hop, length, b)
+    return _jit_istft(w.shape[0], hop, length, b, _window_key(w))(fr, fi)
+
+
+def frame_split(signal, window, start: int, backend: Optional[str] = None):
+    """Single-frame STFT at ``start`` (no-alloc frame API parity,
+    reference ``frame``, ``stft.rs:355-372``)."""
+    w = _window_const(window)
+    win = w.shape[0]
+    x = jnp.asarray(signal)
+    n = x.shape[-1]
+    avail = max(0, min(win, n - start))
+    seg = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, win)]),
+        start, win, axis=-1)
+    mask = (np.arange(win) < avail).astype(np.float32)
+    fr = seg * w * mask
+    b = _resolve_planes_backend(backend)
+    return _fft_planes(fr, jnp.zeros_like(fr), win, False, b, str(fr.dtype))
+
+
+def inverse_frame_split(fr, fi, window, backend: Optional[str] = None):
+    """Single-frame inverse: time-domain windowed samples for overlap-add
+    (reference ``inverse_frame``, ``stft.rs:384-399``)."""
+    w = _window_const(window)
+    win = w.shape[0]
+    b = _resolve_planes_backend(backend)
+    tr, _ = _fft_planes(jnp.asarray(fr), jnp.asarray(fi), win, True, b,
+                        str(jnp.asarray(fr).dtype))
+    return (tr / win) * w
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+
+class StftStream:
+    """Streaming STFT over a fixed signal (reference ``StftStream``,
+    ``stft.rs:160-206``): ``next_frame()`` yields one spectrum per hop until
+    the signal is exhausted."""
+
+    def __init__(self, signal, window, hop: int,
+                 backend: Optional[str] = None):
+        require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+        self._w = _window_const(window)
+        self._sig = np.asarray(signal, dtype=np.float32)
+        require(self._sig.ndim == 1, EmptyInputError,
+                "streaming STFT takes a 1-D signal")
+        self._hop = hop
+        self._pos = 0
+        self._backend = _resolve_planes_backend(backend)
+        win = self._w.shape[0]
+        self._fn = jax.jit(lambda seg: _fft_planes(
+            seg * self._w, jnp.zeros_like(seg), win, False, self._backend,
+            "float32"))
+
+    def next_frame(self):
+        """Returns (re, im) planes of the next frame, or None when done."""
+        if self._pos >= self._sig.size:
+            return None
+        win = self._w.shape[0]
+        seg = np.zeros(win, dtype=np.float32)
+        avail = min(win, self._sig.size - self._pos)
+        seg[:avail] = self._sig[self._pos: self._pos + avail]
+        self._pos += self._hop
+        return self._fn(seg)
+
+    def __iter__(self):
+        while True:
+            f = self.next_frame()
+            if f is None:
+                return
+            yield f
+
+
+class IstftStream:
+    """Streaming ISTFT with rolling overlap-add state (reference
+    ``IstftStream``, ``stft.rs:407-520``): ``push_frame`` returns the next
+    ``hop`` normalized samples; ``flush`` returns the ``win_len - hop``
+    tail. Exactly matches the offline ``istft`` including the flush tail
+    (reference parity test ``tests/istft_stream.rs:5-49``)."""
+
+    def __init__(self, win_len: int, hop: int, window,
+                 backend: Optional[str] = None):
+        require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+        w = _window_const(window)
+        require(w.shape[0] == win_len, MismatchedLengthsError,
+                f"window length {w.shape[0]} != win_len {win_len}")
+        self._w = w
+        self._win = win_len
+        self._hop = hop
+        self._backend = _resolve_planes_backend(backend)
+        # carried OLA state: win_len accumulated samples + norm
+        self._buf = jnp.zeros(win_len, jnp.float32)
+        self._norm = jnp.zeros(win_len, jnp.float32)
+        self._count = 0
+        b = self._backend
+
+        def step(buf, norm, fr, fi):
+            tr, _ = _fft_planes(fr, fi, win_len, True, b, "float32")
+            y = (tr / win_len) * w
+            buf = buf + y
+            norm = norm + (w * w)
+            out = jnp.where(norm[:hop] > 1e-8,
+                            buf[:hop] / jnp.where(norm[:hop] > 1e-8,
+                                                  norm[:hop], 1.0),
+                            buf[:hop])
+            buf = jnp.concatenate([buf[hop:], jnp.zeros(hop, jnp.float32)])
+            norm = jnp.concatenate([norm[hop:], jnp.zeros(hop, jnp.float32)])
+            return out, buf, norm
+
+        self._step = jax.jit(step)
+
+    def push_frame(self, fr, fi=None):
+        """Push one spectrum (complex array or (re, im) planes); returns
+        the next ``hop`` samples as numpy."""
+        if fi is None:
+            f = np.asarray(fr)
+            fr = np.ascontiguousarray(f.real).astype(np.float32)
+            fi = np.ascontiguousarray(f.imag).astype(np.float32)
+        require(np.asarray(fr).shape == (self._win,), MismatchedLengthsError,
+                f"frame must have length {self._win}")
+        out, self._buf, self._norm = self._step(self._buf, self._norm,
+                                                jnp.asarray(fr),
+                                                jnp.asarray(fi))
+        self._count += 1
+        return np.asarray(out)
+
+    def flush(self):
+        """Remaining ``win_len - hop`` normalized tail samples (numpy)."""
+        if self._count == 0:
+            return np.zeros(0, dtype=np.float32)
+        tail = self._win - self._hop
+        if tail <= 0:
+            return np.zeros(0, dtype=np.float32)
+        buf = np.asarray(self._buf)[:tail]
+        norm = np.asarray(self._norm)[:tail]
+        out = np.where(norm > 1e-8, buf / np.where(norm > 1e-8, norm, 1.0),
+                       buf)
+        self._count = 0
+        self._buf = jnp.zeros(self._win, jnp.float32)
+        self._norm = jnp.zeros(self._win, jnp.float32)
+        return out.astype(np.float32)

@@ -1,0 +1,13 @@
+"""kofft_tpu.parallel — mesh-sharded transforms over ICI collectives.
+
+The reference's parallelism is Rayon shared-memory work-stealing gated by a
+cost heuristic (``src/fft.rs:47-307``); its TPU-native equivalent is a
+device ``Mesh`` with ``shard_map`` + ``jax.lax`` collectives: ``all_to_all``
+for N-D FFT pencil transposes, ``ppermute`` halo exchange for STFT/ISTFT
+overlap, ``psum`` for reductions (SURVEY.md §2 "distributed communication
+backend" and §5.7-5.8).
+"""
+
+from .mesh import make_mesh, should_shard  # noqa: F401
+from .ndfft_sharded import fftn_sharded, ifftn_sharded  # noqa: F401
+from .stft_sharded import stft_sharded, istft_sharded  # noqa: F401

@@ -1,0 +1,108 @@
+"""Sharded NDFFT / STFT on the 8-virtual-device CPU mesh.
+
+These pin the parity contract: mesh-sharded execution is bit-compatible
+(up to f32 reduction order) with the single-device engine — the TPU analog
+of the reference's parallel-vs-serial threshold tests
+(tests/parallel_stockham.rs:6-28).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from kofft_tpu.ops import ndfft, stft as S, window as W
+from kofft_tpu.ops.dft import snr_db
+from kofft_tpu.parallel import (fftn_sharded, ifftn_sharded, istft_sharded,
+                                make_mesh, should_shard, stft_sharded)
+
+SNR = 95.0
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_should_shard_threshold():
+    from kofft_tpu.config import set_shard_threshold
+    set_shard_threshold(1000)
+    assert not should_shard(999 * 8, 8)
+    assert should_shard(1000 * 8, 8)
+    assert not should_shard(10 ** 9, 1)
+    set_shard_threshold(None)
+
+
+def test_fftn_sharded_2d(rng, mesh):
+    x = (rng.standard_normal((32, 64))
+         + 1j * rng.standard_normal((32, 64))).astype(np.complex64)
+    yr, yi = fftn_sharded(np.ascontiguousarray(x.real),
+                          np.ascontiguousarray(x.imag), mesh=mesh)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert snr_db(ref, got) > SNR
+
+
+def test_fftn_sharded_3d(rng, mesh):
+    x = (rng.standard_normal((16, 8, 24))
+         + 1j * rng.standard_normal((16, 8, 24))).astype(np.complex64)
+    yr, yi = fftn_sharded(np.ascontiguousarray(x.real),
+                          np.ascontiguousarray(x.imag), mesh=mesh)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fftn(x.astype(np.complex128))
+    assert snr_db(ref, got) > SNR
+
+
+def test_fftn_sharded_roundtrip_restore_layout(rng, mesh):
+    x = (rng.standard_normal((16, 16))
+         + 1j * rng.standard_normal((16, 16))).astype(np.complex64)
+    yr, yi = fftn_sharded(np.ascontiguousarray(x.real),
+                          np.ascontiguousarray(x.imag), mesh=mesh,
+                          restore_layout=True)
+    zr, zi = ifftn_sharded(yr, yi, mesh=mesh, restore_layout=True)
+    back = np.asarray(zr) + 1j * np.asarray(zi)
+    assert snr_db(x, back) > SNR
+
+
+def test_fftn_sharded_bad_divisibility(rng, mesh):
+    import kofft_tpu as kt
+    with pytest.raises(kt.KofftError):
+        fftn_sharded(np.zeros((10, 16), np.float32),
+                     np.zeros((10, 16), np.float32), mesh=mesh)
+
+
+def test_stft_sharded_matches_single(rng, mesh):
+    n, win, hop = 8 * 64, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    fr, fi = stft_sharded(x, w, hop, mesh=mesh)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    ref = np.asarray(S.stft(x, w, hop))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > SNR
+
+
+def test_istft_sharded_matches_single(rng, mesh):
+    n, win, hop = 8 * 64, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x, w, hop))
+    nf = frames.shape[0]
+    offline = np.asarray(S.istft(frames, w, hop,
+                                 length=(nf - 1) * hop + win))
+    out = istft_sharded(np.ascontiguousarray(frames.real),
+                        np.ascontiguousarray(frames.imag), w, hop,
+                        mesh=mesh)
+    out = np.asarray(out)
+    # sharded istft returns the push region (F*hop samples)
+    assert out.shape == (nf * hop,)
+    assert snr_db(offline[: nf * hop], out) > SNR
+
+
+def test_stft_istft_sharded_roundtrip(rng, mesh):
+    n, win, hop = 8 * 128, 128, 32
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    fr, fi = stft_sharded(x, w, hop, mesh=mesh)
+    out = np.asarray(istft_sharded(fr, fi, w, hop, mesh=mesh))
+    assert snr_db(x[win:n - win], out[win:n - win]) > SNR

@@ -1,0 +1,148 @@
+"""STFT/ISTFT semantics + streaming parity
+(reference tests/stft.rs, tests/istft_stream.rs:5-49)."""
+
+import numpy as np
+import pytest
+
+import kofft_tpu as kt
+from kofft_tpu.ops import stft as S
+from kofft_tpu.ops import window as W
+from kofft_tpu.ops.dft import dft, snr_db
+
+SNR = 95.0
+
+
+def _ref_stft(x, w, hop):
+    """Reference-semantics STFT in float64 numpy (stft.rs:76-104)."""
+    n = len(x)
+    win = len(w)
+    nf = -(-n // hop)
+    frames = np.zeros((nf, win), dtype=np.float64)
+    for f in range(nf):
+        s = f * hop
+        seg = x[s: s + win]
+        frames[f, : len(seg)] = seg
+    return np.fft.fft(frames * w, axis=-1)
+
+
+def _ref_istft(frames, w, hop, length):
+    """Reference-semantics ISTFT (stft.rs:117-152)."""
+    win = len(w)
+    out = np.zeros(length, dtype=np.float64)
+    norm = np.zeros(length, dtype=np.float64)
+    t = np.fft.ifft(frames, axis=-1).real * w
+    for f in range(frames.shape[0]):
+        s = f * hop
+        e = min(s + win, length)
+        out[s:e] += t[f, : e - s]
+        norm[s:e] += (w * w)[: e - s]
+    mask = norm > 1e-8
+    out[mask] /= norm[mask]
+    return out
+
+
+@pytest.mark.parametrize("n,win,hop", [(1000, 64, 16), (512, 128, 32),
+                                       (333, 64, 64), (100, 32, 8)])
+def test_stft_matches_reference_semantics(rng, n, win, hop):
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win).astype(np.float64)
+    got = np.asarray(S.stft(x, w.astype(np.float32), hop))
+    ref = _ref_stft(x.astype(np.float64), w, hop)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > SNR
+
+
+def test_stft_istft_roundtrip(rng):
+    n, win, hop = 2048, 256, 64
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = S.stft(x, w, hop)
+    back = np.asarray(S.istft(frames, w, hop, length=n))
+    # interior reconstruction is exact; edges attenuated by window onset
+    assert snr_db(x[win:-win], back[win:-win]) > SNR
+
+
+def test_istft_matches_reference_semantics(rng):
+    n, win, hop = 777, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w64 = W.hann(win).astype(np.float64)
+    frames = _ref_stft(x.astype(np.float64), w64, hop)
+    ref = _ref_istft(frames, w64, hop, n)
+    got = np.asarray(S.istft(frames.astype(np.complex64), W.hann(win), hop,
+                             length=n))
+    assert snr_db(ref, got) > SNR
+
+
+def test_stft_onesided(rng):
+    n, win, hop = 512, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    full = np.asarray(S.stft(x, w, hop))
+    one = np.asarray(S.stft(x, w, hop, onesided=True))
+    np.testing.assert_allclose(one, full[..., : win // 2 + 1],
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_stft_batched(rng):
+    x = rng.standard_normal((3, 500)).astype(np.float32)
+    w = W.hann(64)
+    got = np.asarray(S.stft(x, w, 16))
+    for b in range(3):
+        ref = _ref_stft(x[b].astype(np.float64), w.astype(np.float64), 16)
+        assert snr_db(ref, got[b]) > SNR
+
+
+def test_streaming_stft_matches_batch(rng):
+    n, win, hop = 400, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    batch = np.asarray(S.stft(x, w, hop))
+    stream = S.StftStream(x, w, hop)
+    frames = [np.asarray(fr) + 1j * np.asarray(fi) for fr, fi in stream]
+    assert len(frames) == batch.shape[0]
+    assert snr_db(batch, np.stack(frames)) > SNR
+
+
+def test_streaming_istft_matches_offline(rng):
+    """Streaming push/flush == offline istft incl. the flush tail
+    (reference tests/istft_stream.rs:5-49)."""
+    n, win, hop = 512, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x, w, hop))
+    nf = frames.shape[0]
+    offline = np.asarray(S.istft(frames, w, hop,
+                                 length=(nf - 1) * hop + win))
+    stream = S.IstftStream(win, hop, w)
+    chunks = [stream.push_frame(frames[f]) for f in range(nf)]
+    chunks.append(stream.flush())
+    got = np.concatenate(chunks)
+    assert got.shape == offline.shape
+    assert snr_db(offline, got) > SNR
+
+
+def test_frame_apis(rng):
+    n, win = 200, 64
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    fr, fi = S.frame_split(x, w, start=32)
+    ref = np.fft.fft(x[32:32 + win].astype(np.float64) * w)
+    assert snr_db(ref, np.asarray(fr) + 1j * np.asarray(fi)) > SNR
+    # zero-padded past the end
+    fr, fi = S.frame_split(x, w, start=n - 10)
+    seg = np.zeros(win)
+    seg[:10] = x[n - 10:]
+    ref = np.fft.fft(seg * w)
+    assert snr_db(ref, np.asarray(fr) + 1j * np.asarray(fi)) > SNR
+
+
+def test_bad_hop_raises():
+    with pytest.raises(kt.KofftError):
+        S.stft(np.zeros(64, np.float32), W.hann(16), 0)
+    with pytest.raises(kt.KofftError):
+        S.istft(np.zeros((4, 16), np.complex64), W.hann(16), 0)
+
+
+def test_istft_frame_window_mismatch_raises():
+    with pytest.raises(kt.KofftError):
+        S.istft(np.zeros((4, 32), np.complex64), W.hann(16), 8)
