@@ -1,0 +1,130 @@
+"""kofft-tpu benchmark entry point.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: c32 FFT points/sec/chip at 2^20 (BASELINE.json), compared
+against the reference's measured 59.265 ms/op on its benchmark host
+(BASELINE.md:72). Detail records (FFT sizes, rfft, STFT frames/s, SNR) go
+to benchmarks/latest.json (reference JSON-history workflow) and a summary
+table to stderr.
+
+Timing uses dependency-chained in-graph iteration (see
+kofft_tpu.bench.harness) because tunneled TPU attachments report async
+completion early.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import kofft_tpu as kt
+    from kofft_tpu.bench import BenchRecord, run_history, timeit_chained
+    from kofft_tpu.ops.dft import snr_db
+    from kofft_tpu.ops import window as W
+
+    platform = jax.default_backend()
+    rng = np.random.default_rng(0)
+    records = []
+
+    # ---- headline: 2^20 c32 FFT --------------------------------------
+    n = 1 << 20
+    xr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    t = timeit_chained(lambda p: kt.fft_split(p[0], p[1]), (xr, xi),
+                       iters=15)
+    pts_per_sec = n / t
+    kofft_baseline_pts = n / 59.265e-3  # BASELINE.md:72 (kofft single)
+    records.append(BenchRecord("kofft_tpu", "complex", n, "single",
+                               t * 1e9, 1.0 / t, platform))
+    log(f"c32 FFT 2^20: {t * 1e3:.3f} ms  ({pts_per_sec / 1e9:.3f} Gpts/s)"
+        f"  [kofft 59.265 ms]")
+
+    # ---- FFT size sweep (reference bench sizes subset) ---------------
+    for p2 in (10, 12, 14, 16, 18):
+        m = 1 << p2
+        ar = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
+        ai = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
+        tm = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (ar, ai),
+                            iters=20)
+        records.append(BenchRecord("kofft_tpu", "complex", m, "single",
+                                   tm * 1e9, 1.0 / tm, platform))
+        log(f"c32 FFT 2^{p2}: {tm * 1e6:.1f} us")
+
+    # ---- real FFT 2^20 (output shape differs from input, so the chain
+    # feeds a scalar back into the input instead of the output pytree) ---
+    import time as _time
+    xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    reps = 15
+
+    @jax.jit
+    def rfft_chain(a):
+        def body(_, acc):
+            yr, yi = kt.rfft_split(a * (1.0 + 1e-7 * acc))
+            return acc + yr[0, 0] * 1e-20
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    jax.block_until_ready(rfft_chain(xrr))
+    t0 = _time.perf_counter()
+    float(np.asarray(rfft_chain(xrr)))
+    trfft = (_time.perf_counter() - t0) / reps
+    records.append(BenchRecord("kofft_tpu", "real", n, "single",
+                               trfft * 1e9, 1.0 / trfft, platform))
+    log(f"rfft 2^20: {trfft * 1e3:.3f} ms  [kofft 66.946 ms]")
+
+    # ---- STFT frames/s -------------------------------------------------
+    win, hop = 1024, 256
+    sig = jnp.asarray(rng.standard_normal((1 << 20,)).astype(np.float32))
+    w = W.hann(win)
+    f_stft = jax.jit(lambda s: kt.stft_split(s, w, hop, onesided=True))
+    jax.block_until_ready(f_stft(sig))
+
+    @jax.jit
+    def stft_chain(s):
+        def body(_, acc):
+            fr, fi = kt.stft_split(s * (1.0 + 1e-9 * acc), w, hop,
+                                   onesided=True)
+            return acc + fr[0, 0] * 1e-20
+        return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+
+    jax.block_until_ready(stft_chain(sig))
+    t0 = _time.perf_counter()
+    float(np.asarray(stft_chain(sig)))
+    tstft = (_time.perf_counter() - t0) / 10
+    nframes = (1 << 20) // hop
+    records.append(BenchRecord("kofft_tpu", "stft_frames", nframes,
+                               "single", tstft * 1e9 / nframes,
+                               nframes / tstft, platform))
+    log(f"STFT 2^20 samples (win={win}, hop={hop}): {tstft * 1e3:.3f} ms "
+        f"= {nframes / tstft / 1e6:.2f} Mframes/s")
+
+    # ---- SNR gate (quality guard on the headline path) ----------------
+    small = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+             ).astype(np.complex64)
+    got = kt.asnumpy(kt.fft(small))
+    snr = snr_db(np.fft.fft(small.astype(np.complex128)), got)
+    log(f"SNR 4096 vs f64: {snr:.1f} dB")
+
+    run_history(records)
+    print(json.dumps({
+        "metric": "c32_fft_2^20_points_per_sec_per_chip",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / kofft_baseline_pts, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

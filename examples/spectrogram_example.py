@@ -1,0 +1,35 @@
+"""Example: render a spectrogram PNG from a WAV file.
+
+Counterpart of the reference's example binary used by its golden-image
+parity test (``tests/spectrogram_parity.rs:9-75``): this script and the
+sanity-check CLI must produce byte-identical PNGs for the same input.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kofft_tpu.cli.sanity_check import render, _apply_platform_override
+from kofft_tpu.utils.audio import read_audio
+from kofft_tpu.utils.image import save_png
+
+_apply_platform_override()
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2:
+        print("usage: spectrogram_example.py <input.wav> <output.png> "
+              "[win_len]", file=sys.stderr)
+        return 2
+    inp, outp = Path(argv[0]), Path(argv[1])
+    win_len = int(argv[2]) if len(argv) > 2 else 1024
+    samples, _sr = read_audio(inp)
+    img = render(samples, win_len, "inferno", "linear", 120.0)
+    save_png(img, outp, "eight")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,164 @@
+"""End-to-end golden pipeline + IO utils
+(reference tests/spectrogram_parity.rs:9-75, sanity-check/tests/audio_formats.rs)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from kofft_tpu.media import SongIndex
+from kofft_tpu.utils.audio import read_audio, read_wav, write_wav
+from kofft_tpu.utils.image import decode_png, encode_png, save_png, save_svg
+
+REPO = Path(__file__).resolve().parent.parent
+SUBENV = dict(os.environ, KOFFT_TPU_PLATFORM="cpu")
+
+
+@pytest.fixture(scope="module")
+def wav_440(tmp_path_factory):
+    """Synthesized 440 Hz fixture (the reference test synthesizes the same,
+    spectrogram_parity.rs:16-24)."""
+    p = tmp_path_factory.mktemp("audio") / "tone440.wav"
+    sr = 8000
+    t = np.arange(sr) / sr
+    write_wav(p, 0.5 * np.sin(2 * np.pi * 440 * t), sr)
+    return p
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    p = tmp_path / "x.wav"
+    x = (rng.uniform(-0.9, 0.9, 1000)).astype(np.float32)
+    write_wav(p, x, 16000)
+    got, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(got, x, atol=1.0 / 32767 + 1e-6)
+
+
+def test_read_audio_wav_keeps_interleaved(tmp_path):
+    """The reference wav path does NOT downmix stereo
+    (sanity-check/src/lib.rs:99-107)."""
+    p = tmp_path / "st.wav"
+    left = np.ones(10, np.float32) * 0.5
+    right = -np.ones(10, np.float32) * 0.5
+    inter = np.empty(20, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    write_wav(p, inter, 8000, channels=2)
+    got, sr = read_audio(p)
+    assert got.shape == (20,)  # interleaved, not downmixed
+
+
+def test_png_roundtrip_8_16(tmp_path, rng):
+    img8 = (rng.random((5, 7, 3)) * 255).astype(np.uint8)
+    data = encode_png(img8)
+    np.testing.assert_array_equal(decode_png(data), img8)
+    img16 = (rng.random((4, 6, 3)) * 65535).astype(np.uint16)
+    np.testing.assert_array_equal(decode_png(encode_png(img16)), img16)
+
+
+def test_save_png_depth_conversion(tmp_path):
+    img16 = np.full((2, 2, 3), 0x1234, np.uint16)
+    p8 = tmp_path / "a.png"
+    save_png(img16, p8, "eight")
+    got = decode_png(p8.read_bytes())
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, np.full((2, 2, 3), 0x12, np.uint8))
+    p16 = tmp_path / "b.png"
+    save_png(img16, p16, "sixteen")
+    assert decode_png(p16.read_bytes()).dtype == np.uint16
+
+
+def test_save_svg(tmp_path):
+    img = np.zeros((2, 3, 3), np.uint16)
+    img[0, 0] = [65535, 0, 0]
+    p = tmp_path / "img.svg"
+    save_svg(img, p)
+    text = p.read_text()
+    assert text.startswith("<svg")
+    assert 'fill="#ff0000"' in text
+    assert text.count("<rect") == 6
+
+
+def test_cli_renders_png(tmp_path, wav_440):
+    out = tmp_path / "spec.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "kofft_tpu.cli.sanity_check", str(wav_440),
+         str(out), "--win-len", "256"],
+        cwd=REPO, env=SUBENV, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    img = decode_png(out.read_bytes())
+    assert img.shape == (128, int(np.ceil(8000 / 128)), 3)
+    # the 440 Hz band must light up: row = height-1 - round(440*256/8000)
+    band = img.shape[0] - 1 - round(440 * 256 / 8000)
+    assert img[band].astype(int).sum() > 1.5 * img[10].astype(int).sum()
+
+
+def test_golden_parity_example_vs_cli(tmp_path, wav_440):
+    """Example script and CLI produce byte-identical PNGs (the reference's
+    spectrogram_parity contract)."""
+    out1 = tmp_path / "a.png"
+    out2 = tmp_path / "b.png"
+    r1 = subprocess.run(
+        [sys.executable, "examples/spectrogram_example.py", str(wav_440),
+         str(out1), "256"], cwd=REPO, env=SUBENV, capture_output=True, text=True,
+        timeout=300)
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "kofft_tpu.cli.sanity_check", str(wav_440),
+         str(out2), "--win-len", "256"],
+        cwd=REPO, env=SUBENV, capture_output=True, text=True, timeout=300)
+    assert r2.returncode == 0, r2.stderr
+    assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_cli_log_scale_and_depth(tmp_path, wav_440):
+    out = tmp_path / "log16.png"
+    r = subprocess.run(
+        [sys.executable, "-m", "kofft_tpu.cli.sanity_check", str(wav_440),
+         str(out), "--win-len", "128", "--scale-mode", "log",
+         "--png-depth", "sixteen", "--colormap", "viridis"],
+        cwd=REPO, env=SUBENV, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert decode_png(out.read_bytes()).dtype == np.uint16
+
+
+def test_cli_missing_file_errors(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "kofft_tpu.cli.sanity_check",
+         str(tmp_path / "missing.wav"), str(tmp_path / "o.png")],
+        cwd=REPO, env=SUBENV, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 1
+    assert "error" in r.stderr.lower()
+
+
+# ------------------------------------------------------------- media index
+def test_media_index_metadata_skips_hash(tmp_path):
+    """Reference test: identify() by name works after the file is deleted
+    (index.rs tests)."""
+    idx = SongIndex()
+    p = tmp_path / "song.bin"
+    p.write_bytes(b"song data")
+    sid = idx.index_song(p)
+    p.unlink()
+    assert idx.identify(p) == sid
+
+
+def test_media_index_same_content_same_id(tmp_path):
+    idx = SongIndex()
+    p1 = tmp_path / "a.bin"
+    p2 = tmp_path / "b.bin"
+    p1.write_bytes(b"data")
+    p2.write_bytes(b"data")
+    id1 = idx.index_song(p1)
+    assert idx.identify(p2) == id1
+
+
+def test_media_index_auto_insert(tmp_path):
+    idx = SongIndex()
+    p = tmp_path / "u.bin"
+    p.write_bytes(b"unique")
+    id1 = idx.identify(p)
+    p.unlink()
+    assert idx.identify(p) == id1
