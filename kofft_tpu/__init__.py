@@ -33,7 +33,9 @@ from .ops.wavelet import (haar_forward, haar_inverse,  # noqa: F401
                           dwt, idwt, dwt_multi, idwt_multi)
 from . import visual  # noqa: F401
 from .ops import window  # noqa: F401
+from .ops.plan_api import FftPlan, fft_strided_split  # noqa: F401
 from .utils.transfer import asnumpy  # noqa: F401
+from .utils.observability import enable_compilation_cache, trace  # noqa: F401
 from . import parallel  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,17 +1,173 @@
-"""Pallas kernel implementations (TPU only).
+"""Pallas TPU kernels for the FFT hot path.
 
-First target: fused four-step FFT for n = n1*n2 with n1, n2 <= 256 —
-load an (n1, n2) tile into VMEM once, run DFT matmul / twiddle / DFT matmul /
-transpose entirely on-chip, write once. Implemented against the real chip;
-until then the engine uses the XLA matmul path.
+Fused four-step FFT for pow2 n = n1 * n2 (n1, n2 >= 128):
+
+    stage A:  C[k1, j2] = (sum_j1 F1[j1, k1] * A[j1, j2]) * W[k1, j2]
+    stage B:  X[k2, k1] =  sum_j2 F2[j2, k2] * C[k1, j2]
+
+Each stage is one pallas_call: the (n1, n2) data planes stay resident in
+VMEM across the tile grid (their block index is constant in the tile
+dimension), the DFT-matrix tile streams through, the twiddle multiply is
+fused into stage A's epilogue, and both contractions are laid out so the
+natural dot_general output needs no in-kernel transpose. Compared with the
+XLA matmul path this removes the twiddle and transpose HBM round-trips —
+the profiled bottleneck (the engine is memory-bound; see bench history).
+
+The flat output is X.reshape(n) with index k2*n1 + k1 — identical math to
+``kofft_tpu.ops.fft._apply_tree`` (single-level), which remains the
+fallback and the parity oracle. Inverse reuses the forward kernel via the
+conjugation identity in ``pallas_fft.pallas_fft_planes``.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..plan import tables
+
+_TILE = 128
+_MAX_N = 1 << 24          # per-step VMEM is tile-bound: n1 * TILE planes
+_MIN_FACTOR = _TILE       # both factors must tile cleanly
+
+
+def _pow2_split(n: int):
+    """n = n1 * n2 with pow2 n1 <= n2, both >= _MIN_FACTOR, else None."""
+    if n & (n - 1) or n < _MIN_FACTOR * _MIN_FACTOR:
+        return None
+    k = n.bit_length() - 1
+    n1 = 1 << (k // 2)
+    n2 = n // n1
+    if n1 < _MIN_FACTOR or n2 < _MIN_FACTOR or n > _MAX_N:
+        return None
+    return n1, n2
+
 
 def fused_four_step_supported(n: int) -> bool:
-    return False  # kernels land after the XLA engine is benchmarked
+    return _pow2_split(n) is not None
 
 
-def fused_four_step_fft(xr, xi, n: int):
-    raise NotImplementedError("pallas fused four-step kernel not yet built")
+def _dot(a, b, dims):
+    # HIGHEST: full-f32-fidelity MXU passes — without it Mosaic runs the
+    # f32 matmul as single-pass bf16 and the transform SNR drops to ~50 dB.
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _stage_a_kernel(ar_ref, ai_ref, f1r_ref, f1i_ref, wr_ref, wi_ref,
+                    cr_ref, ci_ref):
+    """C[k1t, j2t] = (sum_j1 F1[j1, k1t] * A[j1, j2t]) * W[k1t, j2t] —
+    contraction over j1 = axis 0 of both operands, so the tile output is
+    (t1, t2) directly; twiddle fused in the epilogue."""
+    ar = ar_ref[0]                      # (n1, t2)
+    ai = ai_ref[0]
+    f1r = f1r_ref[...]                  # (n1, t1)
+    f1i = f1i_ref[...]
+    dims = ((0,), (0,))
+    br = _dot(f1r, ar, dims) - _dot(f1i, ai, dims)   # (t1, t2)
+    bi = _dot(f1r, ai, dims) + _dot(f1i, ar, dims)
+    wr = wr_ref[...]                    # (t1, t2)
+    wi = wi_ref[...]
+    cr_ref[0] = br * wr - bi * wi
+    ci_ref[0] = br * wi + bi * wr
+
+
+def _stage_b_kernel(cr_ref, ci_ref, f2r_ref, f2i_ref, xr_ref, xi_ref):
+    """X[k2t, k1t] = sum_j2 F2[j2, k2t] * C[k1t, j2] — contracting F2
+    axis 0 with C axis 1 yields (t2, t1): the transposed output layout
+    (flat index k2*n1 + k1) for free."""
+    cr = cr_ref[0]                      # (t1, n2)
+    ci = ci_ref[0]
+    f2r = f2r_ref[...]                  # (n2, t2)
+    f2i = f2i_ref[...]
+    dims = ((0,), (1,))
+    xr_ref[0] = _dot(f2r, cr, dims) - _dot(f2i, ci, dims)
+    xi_ref[0] = _dot(f2r, ci, dims) + _dot(f2i, cr, dims)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n: int, dtype: str = "float32", interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2 = _pow2_split(n)
+    f1r, f1i = tables.dft_matrix(n1, dtype)     # (n1, n1), F[j1, k1]
+    f2r, f2i = tables.dft_matrix(n2, dtype)     # (n2, n2), F[j2, k2]
+    twr, twi = tables.twiddle(n1, n2, dtype)    # (n1, n2), W[k1, j2]
+
+    t1 = min(_TILE, n1)
+    t2 = min(_TILE, n2)
+
+    def stage_a(b, ar, ai):
+        # grid (batch, j2-tile, k1-tile); k1 innermost so the A block
+        # (constant in k1) stays VMEM-resident while F1 tiles stream.
+        grid = (b, n2 // t2, n1 // t1)
+        data_spec = pl.BlockSpec((1, n1, t2), lambda i, j, k: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+        f_spec = pl.BlockSpec((n1, t1), lambda i, j, k: (0, k),
+                              memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((t1, t2), lambda i, j, k: (k, j),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, t1, t2), lambda i, j, k: (i, k, j),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _stage_a_kernel,
+            grid=grid,
+            in_specs=[data_spec, data_spec, f_spec, f_spec, w_spec, w_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * n1 * n1 * n2 + 6 * b * n1 * n2,
+                bytes_accessed=(4 * 2 * b * n1 * n2 * 2
+                                + 4 * 2 * (n1 * n1 + n1 * n2)),
+                transcendentals=0),
+            interpret=interpret,
+        )(ar, ai, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(twr),
+          jnp.asarray(twi))
+
+    def stage_b(b, cr, ci):
+        # grid (batch, k1-tile, k2-tile); k2 innermost keeps the C block
+        # resident while F2 tiles stream. Output block (t2, t1) at
+        # (k2, k1) gives the transposed global layout (b, n2, n1).
+        grid = (b, n1 // t1, n2 // t2)
+        data_spec = pl.BlockSpec((1, t1, n2), lambda i, j, k: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+        f_spec = pl.BlockSpec((n2, t2), lambda i, j, k: (0, k),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, t2, t1), lambda i, j, k: (i, k, j),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _stage_b_kernel,
+            grid=grid,
+            in_specs=[data_spec, data_spec, f_spec, f_spec],
+            out_specs=[out_spec, out_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=8 * b * n2 * n2 * n1,
+                bytes_accessed=(4 * 2 * b * n1 * n2 * 2
+                                + 4 * 2 * n2 * n2),
+                transcendentals=0),
+            interpret=interpret,
+        )(cr, ci, jnp.asarray(f2r), jnp.asarray(f2i))
+
+    return n1, n2, stage_a, stage_b
+
+
+def fused_four_step_fft(xr, xi, n: int, interpret: bool = False):
+    """Forward unnormalized DFT on SoA planes via the fused kernels.
+    Input (..., n) float32; output (..., n) planes. ``interpret`` runs the
+    kernels in the Pallas interpreter (CPU test coverage)."""
+    n1, n2, stage_a, stage_b = _build(n, str(xr.dtype), interpret)
+    batch = xr.shape[:-1]
+    b = 1
+    for s in batch:
+        b *= s
+    ar = xr.reshape(b, n1, n2)
+    ai = xi.reshape(b, n1, n2)
+    cr, ci = stage_a(b, ar, ai)
+    yr, yi = stage_b(b, cr, ci)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)

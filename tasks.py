@@ -1,0 +1,128 @@
+"""Dev driver CLI (the reference's ``xtask`` equivalent, component 27).
+
+The reference xtask detects host CPU capabilities and computes feature
+flags/RUSTFLAGS (``xtask/src/lib.rs:25-111``); here the analogous detection
+is the JAX platform/device topology, and the subcommands wrap the dev
+workflows: info / test / bench / lint / sanity / update-bench-readme.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+
+def cmd_info(_args) -> int:
+    import jax
+    print(f"platform:  {jax.default_backend()}")
+    devs = jax.devices()
+    print(f"devices:   {len(devs)} x {devs[0].device_kind if devs else '-'}")
+    print(f"jax:       {jax.__version__}")
+    from kofft_tpu.config import get_config
+    cfg = get_config()
+    print(f"backend:   {cfg.backend} (pallas enabled: {cfg.enable_pallas})")
+    print(f"dft_cutoff: {cfg.dft_cutoff}  precision: {cfg.precision}  "
+          f"shard_threshold: {cfg.shard_threshold}")
+    if len(devs) > 1:
+        print(f"suggested mesh: 1-D ({len(devs)},) axis 'd'")
+    return 0
+
+
+def cmd_test(args) -> int:
+    cmd = [sys.executable, "-m", "pytest", "tests/", "-q"]
+    if args.k:
+        cmd += ["-k", args.k]
+    if args.x:
+        cmd += ["-x"]
+    return subprocess.call(cmd, cwd=REPO)
+
+
+def cmd_bench(_args) -> int:
+    return subprocess.call([sys.executable, "bench.py"], cwd=REPO)
+
+
+def cmd_lint(_args) -> int:
+    """Byte-compile every source file (import-safety gate)."""
+    import compileall
+    ok = compileall.compile_dir(str(REPO / "kofft_tpu"), quiet=1)
+    ok &= compileall.compile_file(str(REPO / "bench.py"), quiet=1)
+    ok &= compileall.compile_file(str(REPO / "tasks.py"), quiet=1)
+    print("lint:", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def cmd_sanity(args) -> int:
+    """Synthesize a tone and render a spectrogram PNG (smoke test)."""
+    import numpy as np
+    from kofft_tpu.utils.audio import write_wav
+    out_dir = Path(args.out or (REPO / "target"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    wav = out_dir / "tone.wav"
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    write_wav(wav, 0.5 * np.sin(2 * np.pi * 440 * t)
+              + 0.25 * np.sin(2 * np.pi * 2000 * t), sr)
+    png = out_dir / "tone.png"
+    rc = subprocess.call(
+        [sys.executable, "-m", "kofft_tpu.cli.sanity_check", str(wav),
+         str(png)], cwd=REPO)
+    if rc == 0:
+        print(f"wrote {png}")
+    return rc
+
+
+def cmd_update_bench_readme(_args) -> int:
+    """Regenerate the benchmark table in benchmarks/README.md from
+    latest.json (reference update_bench_readme.rs:33-82)."""
+    latest = REPO / "benchmarks" / "latest.json"
+    if not latest.exists():
+        print("no benchmarks/latest.json — run `python tasks.py bench`")
+        return 1
+    doc = json.loads(latest.read_text())
+    env = doc["environment"]
+    lines = [
+        "# kofft-tpu benchmarks",
+        "",
+        f"Environment: {env['platform']} ({', '.join(env['devices'])}), "
+        f"jax {env['jax_version']}, run {env['timestamp']}.",
+        "",
+        "| Library | Transform | N | Mode | Time/op | Ops/sec | vs prev |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in doc["records"]:
+        tpo = r["time_per_op_ns"]
+        t = (f"{tpo / 1e6:.3f} ms" if tpo >= 1e6 else f"{tpo / 1e3:.1f} us")
+        chg = ("" if r.get("change_vs_prev") is None
+               else f"{r['change_vs_prev'] * 100:+.1f}%")
+        lines.append(f"| {r['library']} | {r['transform']} | {r['size']} | "
+                     f"{r['mode']} | {t} | {r['ops_per_sec']:.1f} | {chg} |")
+    (REPO / "benchmarks" / "README.md").write_text("\n".join(lines) + "\n")
+    print("benchmarks/README.md updated")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tasks.py")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("info")
+    t = sub.add_parser("test")
+    t.add_argument("-k", default=None)
+    t.add_argument("-x", action="store_true")
+    sub.add_parser("bench")
+    sub.add_parser("lint")
+    s = sub.add_parser("sanity")
+    s.add_argument("--out", default=None)
+    sub.add_parser("update-bench-readme")
+    args = p.parse_args(argv)
+    return {"info": cmd_info, "test": cmd_test, "bench": cmd_bench,
+            "lint": cmd_lint, "sanity": cmd_sanity,
+            "update-bench-readme": cmd_update_bench_readme}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
