@@ -26,7 +26,14 @@ from ..errors import InvalidValueError
 
 def read_wav(path) -> tuple[np.ndarray, int]:
     """(samples_f32, sample_rate): i16 semantics, channels interleaved
-    (reference ``read_wav``, ``sanity-check/src/lib.rs:99-107``)."""
+    (reference ``read_wav``, ``sanity-check/src/lib.rs:99-107``).
+    16-bit PCM files decode through the native C++ parser when available."""
+    raw_bytes = Path(path).read_bytes()
+    from ..native import wav_decode_i16
+    native_out = wav_decode_i16(raw_bytes)
+    if native_out is not None:
+        samples, sr, _ch = native_out
+        return samples, sr
     with wave.open(str(path), "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()

@@ -51,7 +51,9 @@ def encode_png(img: np.ndarray) -> bytes:
 
 def save_png(img: np.ndarray, path, depth: str = "eight") -> None:
     """Save RGB16 image as 8- or 16-bit PNG (reference ``save_png``,
-    ``sanity-check/src/lib.rs:109-134``: 8-bit takes the high byte)."""
+    ``sanity-check/src/lib.rs:109-134``: 8-bit takes the high byte).
+    Uses the native C++ encoder when available (byte-identical output);
+    falls back to the pure-Python encoder."""
     img = np.asarray(img)
     if depth in ("eight", 8):
         if img.dtype == np.uint16:
@@ -64,7 +66,11 @@ def save_png(img: np.ndarray, path, depth: str = "eight") -> None:
     else:
         raise InvalidValueError(f"png depth must be eight/sixteen, got "
                                 f"{depth!r}")
-    Path(path).write_bytes(encode_png(img))
+    from ..native import png_encode as _native_png
+    data = _native_png(img)
+    if data is None:
+        data = encode_png(img)
+    Path(path).write_bytes(data)
 
 
 def decode_png(data: bytes) -> np.ndarray:

@@ -1,0 +1,45 @@
+// Streaming spectrogram client (reference app.mjs analog): captures mic
+// audio, posts hop-sized chunks to /api/compute_frame, scrolls the canvas
+// left and paints each returned RGBA column.
+const canvas = document.getElementById("spec");
+const ctx = canvas.getContext("2d");
+const HOP = 512;
+
+async function post(path, body) {
+  const r = await fetch(path, {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify(body ?? {}),
+  });
+  return r.json();
+}
+
+document.getElementById("cmap").addEventListener("change", (e) =>
+  post("/api/set_colormap", { name: e.target.value }));
+document.getElementById("reset").addEventListener("click", () =>
+  post("/api/reset"));
+
+document.getElementById("start").addEventListener("click", async () => {
+  const stream = await navigator.mediaDevices.getUserMedia({ audio: true });
+  const ac = new AudioContext();
+  const src = ac.createMediaStreamSource(stream);
+  const proc = ac.createScriptProcessor(HOP, 1, 1);
+  src.connect(proc);
+  proc.connect(ac.destination);
+  proc.onaudioprocess = async (ev) => {
+    const samples = Array.from(ev.inputBuffer.getChannelData(0));
+    const { row } = await post("/api/compute_frame", { samples });
+    if (!row.length) return;
+    const h = row.length / 4;
+    // scroll left one column
+    ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
+                  0, 0, canvas.width - 1, canvas.height);
+    const img = ctx.createImageData(1, h);
+    for (let y = 0; y < h; y++) {
+      const s = y * 4, d = (h - 1 - y) * 4; // low freq at bottom
+      img.data[d] = row[s]; img.data[d + 1] = row[s + 1];
+      img.data[d + 2] = row[s + 2]; img.data[d + 3] = row[s + 3];
+    }
+    ctx.putImageData(img, canvas.width - 1, canvas.height - h);
+  };
+});

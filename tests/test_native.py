@@ -1,0 +1,58 @@
+"""Native C++ host runtime parity vs the pure-Python implementations."""
+
+import numpy as np
+import pytest
+
+from kofft_tpu import native
+from kofft_tpu.utils.audio import write_wav
+from kofft_tpu.utils.image import encode_png
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def test_png_parity_8bit(rng):
+    img = (rng.random((20, 30, 3)) * 255).astype(np.uint8)
+    assert native.png_encode(img) == encode_png(img)
+
+
+def test_png_parity_16bit(rng):
+    img = (rng.random((8, 5, 3)) * 65535).astype(np.uint16)
+    assert native.png_encode(img) == encode_png(img)
+
+
+def test_wav_decode_parity(tmp_path, rng):
+    p = tmp_path / "x.wav"
+    x = rng.uniform(-0.9, 0.9, 441).astype(np.float32)
+    write_wav(p, x, 22050)
+    out = native.wav_decode_i16(p.read_bytes())
+    assert out is not None
+    samples, sr, ch = out
+    assert sr == 22050 and ch == 1
+    from kofft_tpu.utils.audio import read_wav
+    ref, _ = read_wav(p)
+    np.testing.assert_allclose(samples, ref, atol=1e-7)
+
+
+def test_wav_decode_rejects_garbage():
+    assert native.wav_decode_i16(b"not a wav file at all") is None
+
+
+def test_native_ola_matches_istft_stream(rng):
+    """C++ OLA == IstftStream normalization/push/flush semantics."""
+    from kofft_tpu.ops import stft as S, window as W
+    win, hop, n = 64, 16, 512
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x, w, hop))
+    nf = frames.shape[0]
+    # python reference stream
+    st = S.IstftStream(win, hop, w)
+    py = np.concatenate([st.push_frame(frames[i]) for i in range(nf)]
+                        + [st.flush()])
+    # native OLA gets the *time-domain* inverse frames (pre-window)
+    ola = native.NativeOla(win, hop, w)
+    td = np.fft.ifft(frames, axis=-1).real.astype(np.float32)
+    nat = np.concatenate([ola.push(td[i]) for i in range(nf)]
+                         + [ola.flush()])
+    np.testing.assert_allclose(nat, py, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,96 @@
+"""Web service tests (reference axum router tests, web-spectrogram/src/
+main.rs:35-124: static serving, CORS, SPA fallback, /health; plus the WASM
+streaming contract, lib.rs:340-360)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from kofft_tpu.web import StreamingSpectrogram
+from kofft_tpu.web.server import serve_background
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv, port = serve_background(0)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_streaming_state_contract():
+    """Short pushes return empty; after win_len samples a full RGBA row;
+    hop-sized drain (reference lib.rs:211-234, :353)."""
+    st = StreamingSpectrogram()
+    assert st.compute_frame(np.zeros(512, np.float32)).size == 0
+    row = st.compute_frame(np.random.randn(512).astype(np.float32))
+    assert row.shape == (512 * 4,)
+    assert np.all(row[3::4] == 255)  # alpha
+    # next hop yields another row immediately (buffer keeps win - hop)
+    row2 = st.compute_frame(np.random.randn(512).astype(np.float32))
+    assert row2.shape == (512 * 4,)
+
+
+def test_streaming_running_max_monotone():
+    st = StreamingSpectrogram()
+    st.compute_frame(0.01 * np.random.randn(1024).astype(np.float32))
+    m1 = st._max_mag
+    st.compute_frame(10.0 * np.random.randn(512).astype(np.float32))
+    assert st._max_mag >= m1
+
+
+def test_health(server):
+    status, headers, _ = _get(server + "/health")
+    assert status == 200
+    assert headers.get("Access-Control-Allow-Origin") == "*"
+
+
+def test_static_index_and_spa_fallback(server):
+    status, _, body = _get(server + "/")
+    assert status == 200 and b"spectrogram" in body
+    # unknown path falls back to index.html (SPA)
+    status, _, body2 = _get(server + "/some/client/route")
+    assert status == 200 and body2 == body
+
+
+def test_api_compute_frame(server):
+    status, out = _post(server + "/api/compute_frame",
+                        {"samples": [0.0] * 512})
+    assert status == 200 and out["row"] == []
+    status, out = _post(server + "/api/compute_frame",
+                        {"samples": list(np.random.randn(512))})
+    assert status == 200
+    assert len(out["row"]) == 512 * 4
+
+
+def test_api_stft_and_errors(server):
+    sig = list(np.sin(np.arange(256) * 0.3))
+    status, out = _post(server + "/api/stft",
+                        {"samples": sig, "win_len": 64, "hop": 16})
+    assert status == 200
+    assert len(out["mags"]) == 16 and len(out["mags"][0]) == 32
+    assert out["max_mag"] > 0
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server + "/api/stft", {"samples": sig, "win_len": 64,
+                                     "hop": 0})
+
+
+def test_api_set_colormap_reset(server):
+    assert _post(server + "/api/set_colormap", {"name": "viridis"})[1]["ok"]
+    assert _post(server + "/api/reset", {})[1]["ok"]
+
