@@ -41,6 +41,7 @@ from ..plan import (DftLeaf, FourStepNode, build_factor_tree, is_smooth,
 from ._complex import cmatmul_last, cmul, merge, split
 
 _NORMS = (None, "backward", "ortho", "forward")
+_STRATEGIES = ("auto", "dft", "four_step", "bluestein")
 
 
 # --------------------------------------------------------------------------
@@ -76,19 +77,37 @@ def _apply_tree(xr, xi, tree, dtype: str):
     return dr, di
 
 
-def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str):
+def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str,
+                strategy: str = "auto"):
     """Unnormalized forward/inverse DFT on SoA planes along the last axis
     (inverse returns n * ifft). Inverse uses the conjugation identity
     n*ifft(x) = conj(fft(conj(x))) so all constants are shared with the
     forward plan (as the reference reuses forward twiddles with conjugated
-    access, ``src/fft.rs:1142-1161``)."""
+    access, ``src/fft.rs:1142-1161``).
+
+    ``strategy`` pins the algorithm (the reference's per-plan strategy
+    enum, ``src/fft.rs:1987-2113``): 'dft' forces the single matmul (any
+    n), 'four_step' the factor tree (smooth n), 'bluestein' the chirp-Z
+    (any n), 'auto' the size-based dispatch."""
     if inverse:
-        yr, yi = _fft_planes(xr, -xi, n, False, backend, dtype)
+        yr, yi = _fft_planes(xr, -xi, n, False, backend, dtype, strategy)
         return yr, -yi
 
-    if backend == "naive":
+    require(strategy in _STRATEGIES, InvalidValueError,
+            f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+
+    if backend == "naive" or strategy == "dft":
         fr, fi = tables.dft_matrix(n, dtype)
         return cmatmul_last(xr, xi, fr, fi)
+
+    if strategy == "bluestein":
+        from .bluestein import _bluestein_planes
+        return _bluestein_planes(xr, xi, n, dtype)
+
+    if strategy == "four_step":
+        require(is_smooth(n), InvalidValueError,
+                f"four_step strategy needs a smooth size, got {n}")
+        return _apply_tree(xr, xi, build_factor_tree(n), dtype)
 
     if is_smooth(n):
         tree = build_factor_tree(n)

@@ -78,18 +78,38 @@ def _ola_norm_const(win_sq: np.ndarray, n_frames: int, hop: int,
 # traced cores
 # --------------------------------------------------------------------------
 
+def _frame_matrix(x, win: int, hop: int, nf: int):
+    """Gather-free framing when win % hop == 0: reshape the signal into
+    hop-chunks and concatenate k = win//hop shifted views — pure
+    reshape/slice ops that XLA lays out without a 2-D gather (the gather
+    was the profiled STFT bottleneck on TPU)."""
+    n = x.shape[-1]
+    k = win // hop
+    chunks_needed = nf + k - 1
+    padded = chunks_needed * hop
+    if padded > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
+        x = jnp.pad(x, pad)
+    c = x[..., :padded].reshape(*x.shape[:-1], chunks_needed, hop)
+    return jnp.concatenate([c[..., j: j + nf, :] for j in range(k)],
+                           axis=-1)
+
+
 def _stft_planes(x, window_np: np.ndarray, hop: int, onesided: bool,
                  backend: str):
     """real (..., N) -> frame spectra planes (..., F, K)."""
     win = window_np.shape[0]
     n = x.shape[-1]
     nf = num_frames(n, hop)
-    padded = (nf - 1) * hop + win
-    if padded > n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
-        x = jnp.pad(x, pad)
-    idx = _frame_indices(nf, win, hop)
-    frames = x[..., idx] * window_np  # (..., F, win)
+    if win % hop == 0:
+        frames = _frame_matrix(x, win, hop, nf) * window_np
+    else:
+        padded = (nf - 1) * hop + win
+        if padded > n:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, padded - n)]
+            x = jnp.pad(x, pad)
+        idx = _frame_indices(nf, win, hop)
+        frames = x[..., idx] * window_np  # (..., F, win)
     if onesided:
         return _rfft_planes(frames, win, backend)
     return _fft_planes(frames, jnp.zeros_like(frames), win, False, backend,

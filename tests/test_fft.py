@@ -158,3 +158,32 @@ def test_warm_call_no_retrace(rng):
     n0 = f._cache_size()
     kt.fft(x)
     assert f._cache_size() == n0
+
+
+def test_all_strategies_agree(rng):
+    """Every strategy produces the same spectrum (reference proptests over
+    all strategies, fft.rs:2274-2650)."""
+    from kofft_tpu.ops.fft import _fft_planes
+    import jax
+    n = 256
+    x = _rand_complex(rng, (2, n))
+    xr, xi = np.ascontiguousarray(x.real), np.ascontiguousarray(x.imag)
+    ref = dft(x)
+    for strat in ("auto", "dft", "four_step", "bluestein"):
+        f = jax.jit(lambda a, b, s=strat: _fft_planes(
+            a, b, n, False, "xla", "float32", s))
+        yr, yi = f(xr, xi)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(ref, got) > SNR_FLOOR_DB, strat
+
+
+def test_bad_strategy_raises(rng):
+    from kofft_tpu.ops.fft import _fft_planes
+    import kofft_tpu as kt
+    x = np.zeros((4,), np.float32)
+    with pytest.raises(kt.KofftError):
+        _fft_planes(x, x, 4, False, "xla", "float32", "stockham")
+    with pytest.raises(kt.KofftError):
+        # four_step on a rough size (prime > max_factor) is rejected eagerly
+        _fft_planes(np.zeros(101, np.float32), np.zeros(101, np.float32),
+                    101, False, "xla", "float32", "four_step")
