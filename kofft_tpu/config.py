@@ -53,8 +53,10 @@ class _Config:
     # env-derived defaults (read once at import, like the reference OnceLock)
     backend: str = field(
         default_factory=lambda: _env_str("KOFFT_TPU_BACKEND", "auto", _BACKENDS))
+    # 128 won the measured trade (v5e): batched-1024 FFT 2.09 -> ~3.3
+    # Gpts/s vs cutoff 1024, and single 2^20 also improves; SNR unchanged.
     dft_cutoff: int = field(
-        default_factory=lambda: _env_int("KOFFT_TPU_DFT_CUTOFF", 1024))
+        default_factory=lambda: _env_int("KOFFT_TPU_DFT_CUTOFF", 128))
     precision: str = field(
         default_factory=lambda: _env_str("KOFFT_TPU_PRECISION", "highest",
                                          _PRECISIONS))

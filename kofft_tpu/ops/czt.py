@@ -87,20 +87,9 @@ def czt(x, m: int, w: complex, a: complex = 1.0 + 0j):
     return merge(yr, yi)
 
 
-def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
-             backend: Optional[str] = None):
-    """Bluestein-factorized CZT (O((n+m) log); requires |w| = 1).
-
-    Returns host numpy complex on transports without complex IO."""
-    w = complex(w)
-    a = complex(a)
-    require(abs(abs(w) - 1.0) < 1e-6, InvalidValueError,
-            "czt_fast requires |w| == 1; use czt() for general w")
-    host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
-    n = x.shape[-1]
-    require(n >= 1 and m >= 1, EmptyInputError, "czt input must be non-empty")
-    dtype = str(x.dtype) if not host else "float32"
+@functools.lru_cache(maxsize=None)
+def _czt_fast_fn(n: int, m: int, w: complex, a: complex, dtype: str):
+    """Cached traced/jitted Bluestein-CZT closure for a fixed signature."""
     L = next_pow2(n + m - 1)
     theta = np.angle(complex(w))  # w = e^{i*theta}
 
@@ -136,9 +125,27 @@ def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
         qr, qi = qr[..., :m] / L, qi[..., :m] / L
         return cmul(qr, qi, post_r, post_i)
 
+    return traced, jax.jit(traced)
+
+
+def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
+             backend: Optional[str] = None):
+    """Bluestein-factorized CZT (O((n+m) log); requires |w| = 1).
+
+    Returns host numpy complex on transports without complex IO."""
+    w = complex(w)
+    a = complex(a)
+    require(abs(abs(w) - 1.0) < 1e-6, InvalidValueError,
+            "czt_fast requires |w| == 1; use czt() for general w")
+    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    n = x.shape[-1]
+    require(n >= 1 and m >= 1, EmptyInputError, "czt input must be non-empty")
+    dtype = str(x.dtype) if not host else "float32"
+    traced, jitted = _czt_fast_fn(n, m, w, a, dtype)
     if _is_tracer(x):
         return merge(*traced(x))
-    yr, yi = jax.jit(traced)(x)
+    yr, yi = jitted(x)
     if host and not complex_io_supported():
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)

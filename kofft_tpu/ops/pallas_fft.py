@@ -20,7 +20,17 @@ def _on_tpu() -> bool:
 
 
 def pallas_supported(n: int, dtype: str) -> bool:
-    """Which (n, dtype) the fused Pallas path covers right now."""
+    """Which (n, dtype) the fused Pallas path covers right now.
+
+    Dispatch is currently opt-in (KOFFT_TPU_FORCE_PALLAS_FFT=1): measured
+    on v5e, the XLA engine with a deep factor tree (cutoff 128) beats the
+    two-factor fused kernel at every size (e.g. 1.96 vs 2.27 ms at 2^20)
+    because the deeper tree does ~8x fewer MACs than the kernel's full
+    n1 x n2 DFT matrices. The kernel stays correct and tested; winning
+    requires the multi-level (three-factor) variant — next on the list."""
+    import os
+    if os.environ.get("KOFFT_TPU_FORCE_PALLAS_FFT") != "1":
+        return False
     if not _on_tpu() or dtype != "float32":
         return False
     from .pallas_kernels import fused_four_step_supported
