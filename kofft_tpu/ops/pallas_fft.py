@@ -20,28 +20,26 @@ def _on_tpu() -> bool:
 
 
 def pallas_supported(n: int, dtype: str) -> bool:
-    """Which (n, dtype) the fused Pallas path covers right now.
-
-    Dispatch is currently opt-in (KOFFT_TPU_FORCE_PALLAS_FFT=1): measured
-    on v5e, the XLA engine with a deep factor tree (cutoff 128) beats the
-    two-factor fused kernel at every size (e.g. 1.96 vs 2.27 ms at 2^20)
-    because the deeper tree does ~8x fewer MACs than the kernel's full
-    n1 x n2 DFT matrices. The kernel stays correct and tested; winning
-    requires the multi-level (three-factor) variant — next on the list."""
+    """Which (n, dtype) the fused Pallas path covers right now: the
+    multi-level kernel for pow2 n in [2^14, 2^24] on f32 planes. Measured
+    on v5e it matches or beats the XLA deep-tree engine at every size
+    (1.07x at batched 2^20) — both sit near the chip's memory wall; the
+    two-factor kernel (kept for reference/tests) loses to deep trees.
+    KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces the XLA path."""
     import os
-    if os.environ.get("KOFFT_TPU_FORCE_PALLAS_FFT") != "1":
+    if os.environ.get("KOFFT_TPU_DISABLE_PALLAS_FFT") == "1":
         return False
     if not _on_tpu() or dtype != "float32":
         return False
-    from .pallas_kernels import fused_four_step_supported
-    return fused_four_step_supported(n)
+    from .pallas_kernels import multilevel_supported
+    return multilevel_supported(n)
 
 
 def pallas_fft_planes(xr, xi, n: int, inverse: bool):
     """Unnormalized DFT on SoA planes via the fused Pallas kernel.
     Inverse uses the shared-constant conjugation identity (n * ifft)."""
-    from .pallas_kernels import fused_four_step_fft
+    from .pallas_kernels import fused_multilevel_fft
     if inverse:
-        yr, yi = fused_four_step_fft(xr, -xi, n)
+        yr, yi = fused_multilevel_fft(xr, -xi, n)
         return yr, -yi
-    return fused_four_step_fft(xr, xi, n)
+    return fused_multilevel_fft(xr, xi, n)

@@ -171,3 +171,189 @@ def fused_four_step_fft(xr, xi, n: int, interpret: bool = False):
     cr, ci = stage_a(b, ar, ai)
     yr, yi = stage_b(b, cr, ci)
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+# ===========================================================================
+# Multi-level fused kernel: each global stage transforms whole lines
+# in VMEM with a recursive four-step over tiny DFT-matrix leaves (baked
+# in-kernel constants), so the full transform is 2 HBM read+write passes —
+# against the XLA tree's ~6+ materialized twiddle/transpose passes.
+# ===========================================================================
+
+_ML_LEAF = 32     # leaf DFT size (4 KB constant matrices in-kernel)
+_ML_TILE = 128    # lines per grid step (1 MB data blocks)
+
+
+def _ml_split(m: int):
+    """Balanced pow2 split of m with both factors <= m (leaf at
+    _ML_LEAF)."""
+    k = m.bit_length() - 1
+    a = 1 << (k // 2)
+    return a, m // a
+
+
+def multilevel_supported(n: int) -> bool:
+    return _pow2_split(n) is not None
+
+
+def _ml_const_keys(m: int) -> list:
+    """Ordered constant keys needed by the length-m in-kernel line FFT."""
+    out = []
+
+    def walk(mm):
+        if mm <= _ML_LEAF:
+            key = ("dft", mm)
+            if key not in out:
+                out.append(key)
+            return
+        a, b = _ml_split(mm)
+        key = ("tw", a, b)
+        if key not in out:
+            out.append(key)
+        walk(a)
+        walk(b)
+
+    walk(m)
+    return out
+
+
+def _ml_const_arrays(keys: list, dtype: str) -> list:
+    arrs = []
+    for key in keys:
+        if key[0] == "dft":
+            re, im = tables.dft_matrix(key[1], dtype)
+        else:
+            re, im = tables.twiddle(key[1], key[2], dtype)
+        arrs += [re, im]
+    return arrs
+
+
+def _fft_axis0_traced(xr, xi, m: int, consts: dict):
+    """FFT along axis 0 of (m, t) planes, traced inside a kernel.
+
+    Recursive four-step: m = a*b, line index j = ja*b + jb; output flat
+    index k = ka + a*kb — the same ordering as ``_apply_tree``. DFT and
+    twiddle tables arrive as kernel operands via ``consts`` (Pallas
+    forbids captured constants)."""
+    if m <= _ML_LEAF:
+        fr, fi = consts[("dft", m)]
+        dims = ((0,), (0,))
+        # F[j, k] contracted over j with x axis0 -> (k, t)
+        return (_dot(fr, xr, dims) - _dot(fi, xi, dims),
+                _dot(fr, xi, dims) + _dot(fi, xr, dims))
+    a, b = _ml_split(m)
+    t = xr.shape[-1]
+    x3r = xr.reshape(a, b * t)
+    x3i = xi.reshape(a, b * t)
+    yr, yi = _fft_axis0_traced(x3r, x3i, a, consts)  # (ka, b*t)
+    yr = yr.reshape(a, b, t)
+    yi = yi.reshape(a, b, t)
+    twr, twi = consts[("tw", a, b)]                  # (a, b) w_m^{ka*jb}
+    cr = yr * twr[:, :, None] - yi * twi[:, :, None]
+    ci = yr * twi[:, :, None] + yi * twr[:, :, None]
+    cr = jnp.swapaxes(cr, 0, 1).reshape(b, a * t)    # (jb, ka, t)
+    ci = jnp.swapaxes(ci, 0, 1).reshape(b, a * t)
+    zr, zi = _fft_axis0_traced(cr, ci, b, consts)    # (kb, a*t)
+    # flat output (kb, ka, t) -> index k = ka + a*kb along axis0
+    return zr.reshape(m, t), zi.reshape(m, t)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ml(n: int, dtype: str = "float32", interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2 = _pow2_split(n)
+    twr, twi = tables.twiddle(n1, n2, dtype)    # (n1, n2) W[k1, j2]
+    t = _ML_TILE
+    keys1 = _ml_const_keys(n1)
+    keys2 = _ml_const_keys(n2)
+    # numpy on purpose: this builder is lru_cached and may first run inside
+    # a trace — caching jnp arrays would leak tracers (see plan._TableCache)
+    consts1 = _ml_const_arrays(keys1, dtype)
+    consts2 = _ml_const_arrays(keys2, dtype)
+
+    def unpack(keys, refs):
+        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
+                for i, k in enumerate(keys)}
+
+    def s1_kernel(ar, ai, wr, wi, *crefs):
+        const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
+        cd = unpack(keys1, const_refs)
+        # block (1, n1, t): FFT each column (length n1), then twiddle
+        yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd)
+        w_r = wr[...]
+        w_i = wi[...]
+        cr[0] = yr * w_r - yi * w_i
+        ci[0] = yr * w_i + yi * w_r
+
+    def s2_kernel(cr, ci, *crefs):
+        const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
+        cd = unpack(keys2, const_refs)
+        # block (1, t, n2): FFT each row -> emit transposed (n2, t)
+        br = jnp.swapaxes(cr[0], 0, 1)   # (n2, t)
+        bi = jnp.swapaxes(ci[0], 0, 1)
+        yr, yi = _fft_axis0_traced(br, bi, n2, cd)
+        xr_o[0] = yr
+        xi_o[0] = yi
+
+    def const_specs(arrs):
+        return [pl.BlockSpec(a.shape,
+                             (lambda nd: lambda i, j: (0,) * nd)(a.ndim),
+                             memory_space=pltpu.VMEM) for a in arrs]
+
+    def stage1(b, ar, ai):
+        grid = (b, n2 // t)
+        data = pl.BlockSpec((1, n1, t), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+        w = pl.BlockSpec((n1, t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            s1_kernel, grid=grid,
+            in_specs=[data, data, w, w] + const_specs(consts1),
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=16 * b * n1 * n2 * max(1, n1.bit_length() // 5),
+                bytes_accessed=4 * 2 * b * n1 * n2 * 2 + 4 * 2 * n1 * n2,
+                transcendentals=0),
+            interpret=interpret,
+        )(ar, ai, jnp.asarray(twr), jnp.asarray(twi),
+          *[jnp.asarray(c) for c in consts1])
+
+    def stage2(b, cr, ci):
+        grid = (b, n1 // t)
+        data_in = pl.BlockSpec((1, t, n2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        data_out = pl.BlockSpec((1, n2, t), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            s2_kernel, grid=grid,
+            in_specs=[data_in, data_in] + const_specs(consts2),
+            out_specs=[data_out, data_out],
+            out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=16 * b * n1 * n2 * max(1, n2.bit_length() // 5),
+                bytes_accessed=4 * 2 * b * n1 * n2 * 2,
+                transcendentals=0),
+            interpret=interpret,
+        )(cr, ci, *[jnp.asarray(c) for c in consts2])
+
+    return n1, n2, stage1, stage2
+
+
+def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
+    """Forward unnormalized DFT via the multi-level fused kernels.
+    Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
+    *only if* each stage's in-VMEM line FFT produces natural order — it
+    does: the recursion emits k = ka + a*kb along the line axis."""
+    n1, n2, stage1, stage2 = _build_ml(n, str(xr.dtype), interpret)
+    batch = xr.shape[:-1]
+    b = 1
+    for s in batch:
+        b *= s
+    ar = xr.reshape(b, n1, n2)
+    ai = xi.reshape(b, n1, n2)
+    cr, ci = stage1(b, ar, ai)
+    yr, yi = stage2(b, cr, ci)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)

@@ -49,3 +49,27 @@ def test_kernel_batch_interpret(rng):
                                  interpret=True)
     ref = np.fft.fft(x.astype(np.float64))
     assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
+@pytest.mark.parametrize("n", [1 << 14, 1 << 15])
+def test_multilevel_kernel_parity_interpret(rng, n):
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_fft
+    import jax.numpy as jnp
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    yr, yi = fused_multilevel_fft(
+        jnp.asarray(np.ascontiguousarray(x.real)[None]),
+        jnp.asarray(np.ascontiguousarray(x.imag)[None]), n, interpret=True)
+    got = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]
+    assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
+
+
+def test_multilevel_batch_interpret(rng):
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_fft
+    import jax.numpy as jnp
+    n = 1 << 14
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    yr, yi = fused_multilevel_fft(jnp.asarray(x), jnp.zeros_like(x), n,
+                                  interpret=True)
+    ref = np.fft.fft(x.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0

@@ -106,3 +106,36 @@ def test_stft_istft_sharded_roundtrip(rng, mesh):
     fr, fi = stft_sharded(x, w, hop, mesh=mesh)
     out = np.asarray(istft_sharded(fr, fi, w, hop, mesh=mesh))
     assert snr_db(x[win:n - win], out[win:n - win]) > SNR
+
+
+def test_fftn_auto_routes(rng, mesh):
+    """Auto dispatch shards when above threshold, stays local below
+    (reference parallel-vs-serial threshold behavior)."""
+    from kofft_tpu.config import set_shard_threshold
+    from kofft_tpu.parallel import fftn_auto
+    x = (rng.standard_normal((16, 16))
+         + 1j * rng.standard_normal((16, 16))).astype(np.complex64)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    set_shard_threshold(1)      # force sharding
+    yr, yi = fftn_auto(np.ascontiguousarray(x.real),
+                       np.ascontiguousarray(x.imag))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+    set_shard_threshold(10 ** 9)  # force local
+    yr, yi = fftn_auto(np.ascontiguousarray(x.real),
+                       np.ascontiguousarray(x.imag))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+    set_shard_threshold(None)
+
+
+def test_stft_auto_routes(rng, mesh):
+    from kofft_tpu.config import set_shard_threshold
+    from kofft_tpu.parallel import stft_auto
+    from kofft_tpu.ops import window as W
+    n, win, hop = 8 * 128, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    ref = np.asarray(S.stft(x, w, hop))
+    set_shard_threshold(1)
+    fr, fi = stft_auto(x, w, hop)
+    assert snr_db(ref, np.asarray(fr) + 1j * np.asarray(fi)) > SNR
+    set_shard_threshold(None)
