@@ -52,6 +52,16 @@ def main() -> None:
     log(f"c32 FFT 2^20: {t * 1e3:.3f} ms  ({pts_per_sec / 1e9:.3f} Gpts/s)"
         f"  [kofft 59.265 ms]")
 
+    # competitor row (the reference benches vs rustfft; ours is jnp.fft)
+    def jnpfft_planes(q):
+        y = jnp.fft.fft(jax.lax.complex(q[0], q[1]))
+        return jnp.real(y), jnp.imag(y)
+
+    tj = timeit_chained(jnpfft_planes, (xr, xi), iters=15)
+    records.append(BenchRecord("jnpfft", "complex", n, "single",
+                               tj * 1e9, 1.0 / tj, platform))
+    log(f"jnp.fft 2^20: {tj * 1e3:.3f} ms (competitor)")
+
     # ---- FFT size sweep (reference bench sizes subset) ---------------
     for p2 in (10, 12, 14, 16, 18):
         m = 1 << p2
@@ -62,6 +72,16 @@ def main() -> None:
         records.append(BenchRecord("kofft_tpu", "complex", m, "single",
                                    tm * 1e9, 1.0 / tm, platform))
         log(f"c32 FFT 2^{p2}: {tm * 1e6:.1f} us")
+
+    # batched throughput row (the production-serving shape)
+    bt = 8
+    xrb = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
+    xib = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
+    tb = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (xrb, xib),
+                        iters=10)
+    records.append(BenchRecord("kofft_tpu", "complex", n, "batch8",
+                               tb * 1e9, 1.0 / tb, platform))
+    log(f"8x2^20 batched: {tb * 1e3:.3f} ms = {bt * n / tb / 1e9:.2f} Gpts/s")
 
     # ---- real FFT 2^20 (output shape differs from input, so the chain
     # feeds a scalar back into the input instead of the output pytree) ---

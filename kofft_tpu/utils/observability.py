@@ -24,6 +24,26 @@ def enable_compilation_cache(path: str | Path = "~/.cache/kofft_tpu_xla"
     return p
 
 
+def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=()):
+    """Pre-build tables and compile executables for the given FFT sizes
+    (the analog of the reference's compile-time twiddle embedding,
+    ``build.rs:6-95``): after ``prewarm``, first real calls are cache hits.
+    Combine with :func:`enable_compilation_cache` to persist across
+    processes."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.fft import _jitted_entry_pp, resolve_backend
+    from ..ops.rfft import _jitted_rfft_pp
+    b = resolve_backend(None)
+    for n in sizes:
+        z = jnp.zeros((*batch_shape, n), jnp.float32)
+        jax.block_until_ready(_jitted_entry_pp(n, False, None, b)(z, z))
+        jax.block_until_ready(_jitted_entry_pp(n, True, None, b)(z, z))
+    for n in rfft_sizes:
+        z = jnp.zeros((*batch_shape, n), jnp.float32)
+        jax.block_until_ready(_jitted_rfft_pp(n, None, b)(z))
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | Path = "/tmp/kofft_tpu_trace"):
     """jax.profiler trace context: ``with trace("/tmp/t"): run()``;

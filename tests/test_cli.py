@@ -162,3 +162,21 @@ def test_media_index_auto_insert(tmp_path):
     id1 = idx.identify(p)
     p.unlink()
     assert idx.identify(p) == id1
+
+
+def test_non_wav_without_ffmpeg_errors(tmp_path, monkeypatch):
+    """FLAC/MP3 need ffmpeg; without it the error names the limitation
+    (the reference decodes these natively via symphonia — documented
+    divergence, PARITY.md)."""
+    import shutil as _sh
+    import kofft_tpu.utils.audio as A
+    monkeypatch.setattr(_sh, "which", lambda name: None)
+    p = tmp_path / "x.flac"
+    p.write_bytes(b"fLaC....")
+    with pytest.raises(Exception, match="ffmpeg|wav"):
+        A.read_audio(p)
+
+
+def test_prewarm():
+    from kofft_tpu.utils.observability import prewarm
+    prewarm([64], rfft_sizes=[64])  # smoke: compiles without error
