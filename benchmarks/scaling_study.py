@@ -1,0 +1,67 @@
+"""Weak-scaling study for the sharded 3-D NDFFT (BASELINE config #5).
+
+Runs the pencil-decomposed FFT over 1..N virtual devices with the per-chip
+volume held constant and reports scaling efficiency. On the CPU virtual
+mesh this validates the collective program and the bookkeeping (the real
+ICI numbers require a pod slice; the all-to-all volume per chip is
+(D-1)/D * local_bytes, constant in D on a torus — see ARCHITECTURE.md §2).
+
+Usage:
+    python benchmarks/scaling_study.py [max_devices] [points_per_chip_log2]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    log2_per_chip = int(sys.argv[2]) if len(sys.argv) > 2 else 18
+
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                                 f"{max_dev}").strip()
+    import jax
+    if jax.default_backend() != "tpu" or len(jax.devices()) < max_dev:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from kofft_tpu.parallel import fftn_sharded, make_mesh
+
+    if jax.default_backend() == "cpu":
+        print("NOTE: virtual CPU devices share one host — weak-scaling "
+              "efficiency here is host-bound and only validates the "
+              "collective program; real efficiency needs a pod slice.")
+    rng = np.random.default_rng(0)
+    results = []
+    base_side = 1 << (log2_per_chip // 3)
+    for d in [x for x in (1, 2, 4, 8, 16) if x <= max_dev]:
+        # weak scaling: X grows with D, per-chip volume constant
+        shape = (base_side * d, base_side, base_side)
+        xr = rng.standard_normal(shape).astype(np.float32)
+        xi = rng.standard_normal(shape).astype(np.float32)
+        mesh = make_mesh(d)
+        # warm
+        yr, yi = fftn_sharded(xr, xi, mesh=mesh)
+        jax.block_until_ready((yr, yi))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            yr, yi = fftn_sharded(xr, xi, mesh=mesh)
+            jax.block_until_ready((yr, yi))
+        dt = (time.perf_counter() - t0) / 5
+        pts = np.prod(shape)
+        results.append((d, dt, pts / dt))
+        base = results[0][2]
+        eff = (pts / dt) / (base * d)
+        print(f"D={d:2d}  vol={shape}  {dt * 1e3:8.2f} ms  "
+              f"{pts / dt / 1e6:8.1f} Mpts/s  weak-scaling eff {eff:5.1%}")
+
+
+if __name__ == "__main__":
+    main()
