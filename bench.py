@@ -11,7 +11,11 @@ table to stderr.
 
 Timing uses dependency-chained in-graph iteration (see
 kofft_tpu.bench.harness) because tunneled TPU attachments report async
-completion early.
+completion early. Chain lengths are in the hundreds: the tunnel adds
+~20 ms of fixed dispatch latency per executable launch, which at short
+chains swamps the per-op time (measured: 2^20 c32 FFT reads 1.76 ms/op
+at iters=15 but 0.23 ms/op at iters=200 — the latter is the true kernel
+time, stable from iters≈100 up).
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ def main() -> None:
     xr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
     t = timeit_chained(lambda p: kt.fft_split(p[0], p[1]), (xr, xi),
-                       iters=15)
+                       iters=200)
     pts_per_sec = n / t
     kofft_baseline_pts = n / 59.265e-3  # BASELINE.md:72 (kofft single)
     records.append(BenchRecord("kofft_tpu", "complex", n, "single",
@@ -57,7 +61,7 @@ def main() -> None:
         y = jnp.fft.fft(jax.lax.complex(q[0], q[1]))
         return jnp.real(y), jnp.imag(y)
 
-    tj = timeit_chained(jnpfft_planes, (xr, xi), iters=15)
+    tj = timeit_chained(jnpfft_planes, (xr, xi), iters=200)
     records.append(BenchRecord("jnpfft", "complex", n, "single",
                                tj * 1e9, 1.0 / tj, platform))
     log(f"jnp.fft 2^20: {tj * 1e3:.3f} ms (competitor)")
@@ -68,7 +72,7 @@ def main() -> None:
         ar = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
         ai = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
         tm = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (ar, ai),
-                            iters=20)
+                            iters=400)
         records.append(BenchRecord("kofft_tpu", "complex", m, "single",
                                    tm * 1e9, 1.0 / tm, platform))
         log(f"c32 FFT 2^{p2}: {tm * 1e6:.1f} us")
@@ -78,7 +82,7 @@ def main() -> None:
     xrb = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
     xib = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
     tb = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (xrb, xib),
-                        iters=10)
+                        iters=50)
     records.append(BenchRecord("kofft_tpu", "complex", n, "batch8",
                                tb * 1e9, 1.0 / tb, platform))
     log(f"8x2^20 batched: {tb * 1e3:.3f} ms = {bt * n / tb / 1e9:.2f} Gpts/s")
@@ -87,7 +91,7 @@ def main() -> None:
     # feeds a scalar back into the input instead of the output pytree) ---
     import time as _time
     xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
-    reps = 15
+    reps = 150
 
     @jax.jit
     def rfft_chain(a):
@@ -117,12 +121,12 @@ def main() -> None:
             fr, fi = kt.stft_split(s * (1.0 + 1e-9 * acc), w, hop,
                                    onesided=True)
             return acc + fr[0, 0] * 1e-20
-        return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, 50, body, jnp.float32(0.0))
 
     jax.block_until_ready(stft_chain(sig))
     t0 = _time.perf_counter()
     float(np.asarray(stft_chain(sig)))
-    tstft = (_time.perf_counter() - t0) / 10
+    tstft = (_time.perf_counter() - t0) / 50
     nframes = (1 << 20) // hop
     records.append(BenchRecord("kofft_tpu", "stft_frames", nframes,
                                "single", tstft * 1e9 / nframes,

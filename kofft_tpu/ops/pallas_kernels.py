@@ -17,6 +17,28 @@ The flat output is X.reshape(n) with index k2*n1 + k1 — identical math to
 ``kofft_tpu.ops.fft._apply_tree`` (single-level), which remains the
 fallback and the parity oracle. Inverse reuses the forward kernel via the
 conjugation identity in ``pallas_fft.pallas_fft_planes``.
+
+Measured design notes (v5e, 2^20 c32, chained-dependency timing)
+-----------------------------------------------------------------
+* Complex matmuls use the 3-multiply Gauss/Karatsuba form at HIGHEST
+  precision: 18 MXU passes per level instead of 24, 288 -> 230 us end to
+  end at unchanged SNR (135 dB vs f64). The kernels are bound by MXU
+  *precision passes*, not utilization: a 32-contraction leaf and a dense
+  128-contraction cost the same wall-clock per level.
+* A full-MXU-width variant (residual factors r < 128 lifted to dense
+  128-contractions via kron(F_r, I_{128/r}) block matmuls — index-free
+  reshapes, no transposes) was built and measured SLOWER (344 vs 312 us):
+  utilization is not the binding constraint, so the extra lifted flops
+  only add pass time. Balanced 32x32 leaves win; the experiment is
+  recorded here so it is not repeated.
+* In-kernel ``jnp.swapaxes`` on (32, 32, t) blocks costs ~0 (Mosaic
+  relayout hides under DMA), and the stage-A twiddle read from HBM is
+  free as well (removing it via a separable running product changed
+  nothing) — the grid is DMA/pass-bound, not VPU-bound.
+* 'high' precision maps to a manual bf16x3 scheme (hi/lo split, 3 DEFAULT
+  passes): 103.6 dB at 228 us with the 4-mult form — Mosaic has no native
+  HIGH lowering for dot_general. 'default' (single-pass bf16) reaches
+  157 us but only 47 dB; it exists for throughput-over-accuracy users.
 """
 
 from __future__ import annotations
@@ -27,6 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import get_config
 from ..plan import tables
 
 _TILE = 128
@@ -50,47 +73,74 @@ def fused_four_step_supported(n: int) -> bool:
     return _pow2_split(n) is not None
 
 
-def _dot(a, b, dims):
-    # HIGHEST: full-f32-fidelity MXU passes — without it Mosaic runs the
-    # f32 matmul as single-pass bf16 and the transform SNR drops to ~50 dB.
+def _kernel_precision() -> str:
+    """Resolve the config precision to a kernel mode (see module notes)."""
+    return get_config().precision
+
+
+def _dot(a, b, dims, prec=None):
+    p = jax.lax.Precision.HIGHEST if prec is None else prec
     return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=p)
 
 
-def _stage_a_kernel(ar_ref, ai_ref, f1r_ref, f1i_ref, wr_ref, wi_ref,
+def _cdot(fr, fi, xr, xi, dims, mode: str):
+    """Complex contraction (fr + i*fi) x (xr + i*xi) on the MXU.
+
+    mode='highest'  Gauss/Karatsuba, 3 HIGHEST dots (default; ~f32-exact)
+    mode='high'     manual bf16x3 (hi/lo split, 3 DEFAULT passes per dot)
+    mode='default'  Gauss/Karatsuba, 3 single-pass bf16 dots (fast, ~47dB)
+    """
+    if mode == "high":
+        def dd(u, v):
+            uh = u.astype(jnp.bfloat16)
+            ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
+            vh = v.astype(jnp.bfloat16)
+            vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            p = jax.lax.Precision.DEFAULT
+            return (_dot(uh, vh, dims, p) + _dot(uh, vl, dims, p)
+                    + _dot(ul, vh, dims, p))
+        rr = dd(fr, xr)
+        ii = dd(fi, xi)
+        ri = dd(fr, xi)
+        ir = dd(fi, xr)
+        return rr - ii, ri + ir
+    p = (jax.lax.Precision.HIGHEST if mode == "highest"
+         else jax.lax.Precision.DEFAULT)
+    t1 = _dot(fr, xr, dims, p)
+    t2 = _dot(fi, xi, dims, p)
+    t3 = _dot(fr + fi, xr + xi, dims, p)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _stage_a_kernel(mode, ar_ref, ai_ref, f1r_ref, f1i_ref, wr_ref, wi_ref,
                     cr_ref, ci_ref):
     """C[k1t, j2t] = (sum_j1 F1[j1, k1t] * A[j1, j2t]) * W[k1t, j2t] —
     contraction over j1 = axis 0 of both operands, so the tile output is
     (t1, t2) directly; twiddle fused in the epilogue."""
     ar = ar_ref[0]                      # (n1, t2)
     ai = ai_ref[0]
-    f1r = f1r_ref[...]                  # (n1, t1)
-    f1i = f1i_ref[...]
-    dims = ((0,), (0,))
-    br = _dot(f1r, ar, dims) - _dot(f1i, ai, dims)   # (t1, t2)
-    bi = _dot(f1r, ai, dims) + _dot(f1i, ar, dims)
+    br, bi = _cdot(f1r_ref[...], f1i_ref[...], ar, ai, ((0,), (0,)), mode)
     wr = wr_ref[...]                    # (t1, t2)
     wi = wi_ref[...]
     cr_ref[0] = br * wr - bi * wi
     ci_ref[0] = br * wi + bi * wr
 
 
-def _stage_b_kernel(cr_ref, ci_ref, f2r_ref, f2i_ref, xr_ref, xi_ref):
+def _stage_b_kernel(mode, cr_ref, ci_ref, f2r_ref, f2i_ref, xr_ref, xi_ref):
     """X[k2t, k1t] = sum_j2 F2[j2, k2t] * C[k1t, j2] — contracting F2
     axis 0 with C axis 1 yields (t2, t1): the transposed output layout
     (flat index k2*n1 + k1) for free."""
     cr = cr_ref[0]                      # (t1, n2)
     ci = ci_ref[0]
-    f2r = f2r_ref[...]                  # (n2, t2)
-    f2i = f2i_ref[...]
-    dims = ((0,), (1,))
-    xr_ref[0] = _dot(f2r, cr, dims) - _dot(f2i, ci, dims)
-    xi_ref[0] = _dot(f2r, ci, dims) + _dot(f2i, cr, dims)
+    xr_ref[0], xi_ref[0] = _cdot(f2r_ref[...], f2i_ref[...], cr, ci,
+                                 ((0,), (1,)), mode)
 
 
 @functools.lru_cache(maxsize=None)
-def _build(n: int, dtype: str = "float32", interpret: bool = False):
+def _build(n: int, dtype: str = "float32", interpret: bool = False,
+           mode: str = "highest"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -115,7 +165,7 @@ def _build(n: int, dtype: str = "float32", interpret: bool = False):
         out_spec = pl.BlockSpec((1, t1, t2), lambda i, j, k: (i, k, j),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            _stage_a_kernel,
+            functools.partial(_stage_a_kernel, mode),
             grid=grid,
             in_specs=[data_spec, data_spec, f_spec, f_spec, w_spec, w_spec],
             out_specs=[out_spec, out_spec],
@@ -141,7 +191,7 @@ def _build(n: int, dtype: str = "float32", interpret: bool = False):
         out_spec = pl.BlockSpec((1, t2, t1), lambda i, j, k: (i, k, j),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            _stage_b_kernel,
+            functools.partial(_stage_b_kernel, mode),
             grid=grid,
             in_specs=[data_spec, data_spec, f_spec, f_spec],
             out_specs=[out_spec, out_spec],
@@ -161,7 +211,8 @@ def fused_four_step_fft(xr, xi, n: int, interpret: bool = False):
     """Forward unnormalized DFT on SoA planes via the fused kernels.
     Input (..., n) float32; output (..., n) planes. ``interpret`` runs the
     kernels in the Pallas interpreter (CPU test coverage)."""
-    n1, n2, stage_a, stage_b = _build(n, str(xr.dtype), interpret)
+    n1, n2, stage_a, stage_b = _build(n, str(xr.dtype), interpret,
+                                      _kernel_precision())
     batch = xr.shape[:-1]
     b = 1
     for s in batch:
@@ -228,7 +279,7 @@ def _ml_const_arrays(keys: list, dtype: str) -> list:
     return arrs
 
 
-def _fft_axis0_traced(xr, xi, m: int, consts: dict):
+def _fft_axis0_traced(xr, xi, m: int, consts: dict, mode: str = "highest"):
     """FFT along axis 0 of (m, t) planes, traced inside a kernel.
 
     Recursive four-step: m = a*b, line index j = ja*b + jb; output flat
@@ -237,15 +288,13 @@ def _fft_axis0_traced(xr, xi, m: int, consts: dict):
     forbids captured constants)."""
     if m <= _ML_LEAF:
         fr, fi = consts[("dft", m)]
-        dims = ((0,), (0,))
         # F[j, k] contracted over j with x axis0 -> (k, t)
-        return (_dot(fr, xr, dims) - _dot(fi, xi, dims),
-                _dot(fr, xi, dims) + _dot(fi, xr, dims))
+        return _cdot(fr, fi, xr, xi, ((0,), (0,)), mode)
     a, b = _ml_split(m)
     t = xr.shape[-1]
     x3r = xr.reshape(a, b * t)
     x3i = xi.reshape(a, b * t)
-    yr, yi = _fft_axis0_traced(x3r, x3i, a, consts)  # (ka, b*t)
+    yr, yi = _fft_axis0_traced(x3r, x3i, a, consts, mode)  # (ka, b*t)
     yr = yr.reshape(a, b, t)
     yi = yi.reshape(a, b, t)
     twr, twi = consts[("tw", a, b)]                  # (a, b) w_m^{ka*jb}
@@ -253,13 +302,14 @@ def _fft_axis0_traced(xr, xi, m: int, consts: dict):
     ci = yr * twi[:, :, None] + yi * twr[:, :, None]
     cr = jnp.swapaxes(cr, 0, 1).reshape(b, a * t)    # (jb, ka, t)
     ci = jnp.swapaxes(ci, 0, 1).reshape(b, a * t)
-    zr, zi = _fft_axis0_traced(cr, ci, b, consts)    # (kb, a*t)
+    zr, zi = _fft_axis0_traced(cr, ci, b, consts, mode)    # (kb, a*t)
     # flat output (kb, ka, t) -> index k = ka + a*kb along axis0
     return zr.reshape(m, t), zi.reshape(m, t)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_ml(n: int, dtype: str = "float32", interpret: bool = False):
+def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
+              mode: str = "highest"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -281,7 +331,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False):
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
         cd = unpack(keys1, const_refs)
         # block (1, n1, t): FFT each column (length n1), then twiddle
-        yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd)
+        yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd, mode)
         w_r = wr[...]
         w_i = wi[...]
         cr[0] = yr * w_r - yi * w_i
@@ -293,7 +343,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False):
         # block (1, t, n2): FFT each row -> emit transposed (n2, t)
         br = jnp.swapaxes(cr[0], 0, 1)   # (n2, t)
         bi = jnp.swapaxes(ci[0], 0, 1)
-        yr, yi = _fft_axis0_traced(br, bi, n2, cd)
+        yr, yi = _fft_axis0_traced(br, bi, n2, cd, mode)
         xr_o[0] = yr
         xi_o[0] = yi
 
@@ -347,7 +397,8 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
     *only if* each stage's in-VMEM line FFT produces natural order — it
     does: the recursion emits k = ka + a*kb along the line axis."""
-    n1, n2, stage1, stage2 = _build_ml(n, str(xr.dtype), interpret)
+    n1, n2, stage1, stage2 = _build_ml(n, str(xr.dtype), interpret,
+                                       _kernel_precision())
     batch = xr.shape[:-1]
     b = 1
     for s in batch:
