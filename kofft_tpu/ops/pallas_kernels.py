@@ -285,15 +285,34 @@ def _fft_axis0_traced(xr, xi, m: int, consts: dict, mode: str = "highest"):
     Recursive four-step: m = a*b, line index j = ja*b + jb; output flat
     index k = ka + a*kb — the same ordering as ``_apply_tree``. DFT and
     twiddle tables arrive as kernel operands via ``consts`` (Pallas
-    forbids captured constants)."""
+    forbids captured constants). ``xi=None`` means a real input (rfft
+    stage 1): the first leaf level needs only 2 dots instead of 3 and the
+    zero plane is never materialized."""
     if m <= _ML_LEAF:
         fr, fi = consts[("dft", m)]
+        if xi is None:
+            dims = ((0,), (0,))
+            if mode == "high":
+                xh = xr.astype(jnp.bfloat16)
+                xl = (xr - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+                p = jax.lax.Precision.DEFAULT
+
+                def dd(u):
+                    uh = u.astype(jnp.bfloat16)
+                    ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return (_dot(uh, xh, dims, p) + _dot(uh, xl, dims, p)
+                            + _dot(ul, xh, dims, p))
+
+                return dd(fr), dd(fi)
+            p = (jax.lax.Precision.HIGHEST if mode == "highest"
+                 else jax.lax.Precision.DEFAULT)
+            return _dot(fr, xr, dims, p), _dot(fi, xr, dims, p)
         # F[j, k] contracted over j with x axis0 -> (k, t)
         return _cdot(fr, fi, xr, xi, ((0,), (0,)), mode)
     a, b = _ml_split(m)
     t = xr.shape[-1]
     x3r = xr.reshape(a, b * t)
-    x3i = xi.reshape(a, b * t)
+    x3i = None if xi is None else xi.reshape(a, b * t)
     yr, yi = _fft_axis0_traced(x3r, x3i, a, consts, mode)  # (ka, b*t)
     yr = yr.reshape(a, b, t)
     yi = yi.reshape(a, b, t)
@@ -337,6 +356,16 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         cr[0] = yr * w_r - yi * w_i
         ci[0] = yr * w_i + yi * w_r
 
+    def s1r_kernel(ar, wr, wi, *crefs):
+        # real-input stage 1 (rfft): no imag plane crosses HBM
+        const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
+        cd = unpack(keys1, const_refs)
+        yr, yi = _fft_axis0_traced(ar[0], None, n1, cd, mode)
+        w_r = wr[...]
+        w_i = wi[...]
+        cr[0] = yr * w_r - yi * w_i
+        ci[0] = yr * w_i + yi * w_r
+
     def s2_kernel(cr, ci, *crefs):
         const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
         cd = unpack(keys2, const_refs)
@@ -371,6 +400,25 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         )(ar, ai, jnp.asarray(twr), jnp.asarray(twi),
           *[jnp.asarray(c) for c in consts1])
 
+    def stage1_real(b, ar):
+        grid = (b, n2 // t)
+        data = pl.BlockSpec((1, n1, t), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+        w = pl.BlockSpec((n1, t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            s1r_kernel, grid=grid,
+            in_specs=[data, w, w] + const_specs(consts1),
+            out_specs=[data, data],
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=12 * b * n1 * n2 * max(1, n1.bit_length() // 5),
+                bytes_accessed=4 * 3 * b * n1 * n2 + 4 * 2 * n1 * n2,
+                transcendentals=0),
+            interpret=interpret,
+        )(ar, jnp.asarray(twr), jnp.asarray(twi),
+          *[jnp.asarray(c) for c in consts1])
+
     def stage2(b, cr, ci):
         grid = (b, n1 // t)
         data_in = pl.BlockSpec((1, t, n2), lambda i, j: (i, j, 0),
@@ -389,7 +437,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
             interpret=interpret,
         )(cr, ci, *[jnp.asarray(c) for c in consts2])
 
-    return n1, n2, stage1, stage2
+    return n1, n2, stage1, stage1_real, stage2
 
 
 def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
@@ -397,8 +445,8 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
     *only if* each stage's in-VMEM line FFT produces natural order — it
     does: the recursion emits k = ka + a*kb along the line axis."""
-    n1, n2, stage1, stage2 = _build_ml(n, str(xr.dtype), interpret,
-                                       _kernel_precision())
+    n1, n2, stage1, _, stage2 = _build_ml(n, str(xr.dtype), interpret,
+                                          _kernel_precision())
     batch = xr.shape[:-1]
     b = 1
     for s in batch:
@@ -406,5 +454,21 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
     cr, ci = stage1(b, ar, ai)
+    yr, yi = stage2(b, cr, ci)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+def fused_multilevel_rfft(x, n: int, interpret: bool = False):
+    """Forward unnormalized DFT of a REAL signal via the multi-level
+    kernels: stage 1 reads a single plane (no zero-imag HBM traffic, 2
+    leaf dots instead of 3 at the first level). Returns the FULL-spectrum
+    planes; callers slice to one-sided ``n//2 + 1``."""
+    n1, n2, _, stage1_real, stage2 = _build_ml(n, str(x.dtype), interpret,
+                                               _kernel_precision())
+    batch = x.shape[:-1]
+    b = 1
+    for s in batch:
+        b *= s
+    cr, ci = stage1_real(b, x.reshape(b, n1, n2))
     yr, yi = stage2(b, cr, ci)
     return yr.reshape(*batch, n), yi.reshape(*batch, n)

@@ -5,10 +5,12 @@ reference's algorithm — pack even/odd samples into a half-size complex
 FFT, Hermitian-unpack with twiddles (``rfft.rs:425-508``), SIMD
 post-processing variants (``rfft.rs:510-774``) — is a CPU design: it
 halves FLOPs at the price of stride-2 deinterleaves and reversals. On TPU
-those are minor-dim lane shuffles and cost far more than the FLOPs they
-save (measured on v5e at 2^20: deinterleave 6.4 ms + flip 2.8 ms vs the
-full transform's 2.0 ms), so this build computes the full complex FFT of
-the real signal (zero imag plane, MXU matmuls) and slices one side; the
+those are minor-dim lane shuffles and cost more than the FLOPs they save
+(measured on v5e at 2^20 with chained timing: deint + half FFT + unpack =
+312 us vs 289 us for the straight full transform), so this build computes
+the full complex FFT of the real signal and slices one side — on the
+Pallas backend through a real-input stage-1 kernel that never
+materializes the zero imag plane; the
 inverse reconstructs the Hermitian spectrum with a single half-length
 flip and keeps the real plane of the full inverse. Outputs are identical
 to the reference/numpy to f32 precision; the API surface (rfft/irfft +
@@ -36,14 +38,24 @@ __all__ = ["rfft", "irfft", "rfft_split", "irfft_split"]
 def _rfft_planes(x, n: int, backend: str):
     """real (..., n) -> one-sided planes (..., n//2+1), unnormalized.
 
-    TPU-native formulation: full n-point complex FFT (zero imag plane) and
-    slice one side. The textbook half-size even/odd packing (which the
-    reference implements, ``rfft.rs:425-465``) halves the FLOPs but pays
-    stride-2 deinterleaves + lane-dim flips — measured 6.4 ms + 2.8 ms per
-    2^20 on v5e against a 2.0 ms full transform, i.e. the "optimization"
-    is 3-2500x slower than the straight path on this hardware. The MXU
-    makes FLOPs cheap; lane shuffles are what cost."""
+    TPU-native formulation: full n-point complex FFT of the real signal
+    and slice one side. The textbook half-size even/odd packing (which the
+    reference implements, ``rfft.rs:425-465``) halves the FLOPs but pays a
+    stride-2 lane deinterleave plus Hermitian-unpack lane flips; re-measured
+    with dispatch-latency-free chained timing on v5e at 2^20 the packed
+    path still loses (deint 45 us + half FFT 174 us + unpack 93 us = 312 us
+    vs 289 us for the straight full transform — and the real-input Pallas
+    stage below beats both). The MXU makes FLOPs cheap; lane shuffles are
+    what cost. On the Pallas backend, stage 1 reads the single real plane
+    (no zero-imag HBM traffic, 2 leaf dots instead of 3)."""
     dtype = str(x.dtype)
+    if backend == "pallas":
+        from .pallas_fft import pallas_supported
+        if pallas_supported(n, dtype):
+            from .pallas_kernels import fused_multilevel_rfft
+            yr, yi = fused_multilevel_rfft(x, n)
+            return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
+        backend = "xla"
     yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
     return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
 
@@ -60,6 +72,12 @@ def _irfft_planes(yr, yi, n: int, backend: str):
     tail_i = -jnp.flip(yi[..., 1: (n + 1) // 2], axis=-1)
     fr = jnp.concatenate([yr[..., : n // 2 + 1], tail_r], axis=-1)
     fi = jnp.concatenate([yi[..., : n // 2 + 1], tail_i], axis=-1)
+    if backend == "pallas":
+        from .pallas_fft import pallas_supported, pallas_fft_planes
+        if pallas_supported(n, dtype):
+            xr, _ = pallas_fft_planes(fr, fi, n, inverse=True)
+            return xr
+        backend = "xla"
     xr, _ = _fft_planes(fr, fi, n, True, backend, dtype)
     return xr
 
@@ -70,8 +88,6 @@ def _irfft_planes(yr, yi, n: int, backend: str):
 
 def _rfft_traced(x, n: int, norm: Optional[str], backend: str):
     b = "xla" if backend in ("jnpfft",) else backend
-    if b == "pallas":
-        b = "xla"  # pallas rfft kernel lands later; engine path meanwhile
     yr, yi = _rfft_planes(x, n, b)
     s = _norm_scale(n, norm, False)
     if s is not None:
@@ -80,7 +96,7 @@ def _rfft_traced(x, n: int, norm: Optional[str], backend: str):
 
 
 def _irfft_traced(yr, yi, n: int, norm: Optional[str], backend: str):
-    b = "xla" if backend in ("jnpfft", "pallas") else backend
+    b = "xla" if backend in ("jnpfft",) else backend
     x = _irfft_planes(yr, yi, n, b)
     s = _norm_scale(n, norm, True)
     if s is not None:
