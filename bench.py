@@ -35,7 +35,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import kofft_tpu as kt
-    from kofft_tpu.bench import BenchRecord, run_history, timeit_chained
+    from kofft_tpu.bench import (BenchRecord, run_history, timeit_chained,
+                                 timeit_chained_scalar)
     from kofft_tpu.ops.dft import snr_db
     from kofft_tpu.ops import window as W
 
@@ -89,21 +90,13 @@ def main() -> None:
 
     # ---- real FFT 2^20 (output shape differs from input, so the chain
     # feeds a scalar back into the input instead of the output pytree) ---
-    import time as _time
     xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
-    reps = 150
 
-    @jax.jit
-    def rfft_chain(a):
-        def body(_, acc):
-            yr, yi = kt.rfft_split(a * (1.0 + 1e-7 * acc))
-            return acc + yr[0, 0] * 1e-20
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+    def rfft_step(a, acc):
+        yr, yi = kt.rfft_split(a * (1.0 + 1e-7 * acc))
+        return acc + yr[0, 0] * 1e-20
 
-    jax.block_until_ready(rfft_chain(xrr))
-    t0 = _time.perf_counter()
-    float(np.asarray(rfft_chain(xrr)))
-    trfft = (_time.perf_counter() - t0) / reps
+    trfft = timeit_chained_scalar(rfft_step, xrr)
     records.append(BenchRecord("kofft_tpu", "real", n, "single",
                                trfft * 1e9, 1.0 / trfft, platform))
     log(f"rfft 2^20: {trfft * 1e3:.3f} ms  [kofft 66.946 ms]")
@@ -115,18 +108,12 @@ def main() -> None:
     f_stft = jax.jit(lambda s: kt.stft_split(s, w, hop, onesided=True))
     jax.block_until_ready(f_stft(sig))
 
-    @jax.jit
-    def stft_chain(s):
-        def body(_, acc):
-            fr, fi = kt.stft_split(s * (1.0 + 1e-9 * acc), w, hop,
-                                   onesided=True)
-            return acc + fr[0, 0] * 1e-20
-        return jax.lax.fori_loop(0, 50, body, jnp.float32(0.0))
+    def stft_step(s, acc):
+        fr, fi = kt.stft_split(s * (1.0 + 1e-9 * acc), w, hop,
+                               onesided=True)
+        return acc + fr[0, 0] * 1e-20
 
-    jax.block_until_ready(stft_chain(sig))
-    t0 = _time.perf_counter()
-    float(np.asarray(stft_chain(sig)))
-    tstft = (_time.perf_counter() - t0) / 50
+    tstft = timeit_chained_scalar(stft_step, sig)
     nframes = (1 << 20) // hop
     records.append(BenchRecord("kofft_tpu", "stft_frames", nframes,
                                "single", tstft * 1e9 / nframes,

@@ -6,4 +6,5 @@ BenchRecord-shaped entries {library, transform, size, mode, time_per_op_ns,
 ops_per_sec, ...} with previous-run deltas, plus chip/topology fields.
 """
 
-from .harness import timeit_chained, BenchRecord, run_history  # noqa: F401
+from .harness import (timeit_chained, timeit_chained_scalar, BenchRecord,
+                      run_history)  # noqa: F401

@@ -1,13 +1,25 @@
 """Timing + JSON-history benchmark harness.
 
-Measurement methodology: some TPU attachments (tunneled relays) report
-async completion before execution finishes, making ``block_until_ready``
-loops meaningless. ``timeit_chained`` therefore builds a *data-dependency
-chain* of ``iters`` applications of the op inside ONE executable
-(``lax.fori_loop``) and forces a scalar reduction transfer at the end; the
-chip cannot skip or overlap the chained work, so wall-clock / iters is a
-true per-op time. (The reference's criterion harness plays the same role,
-``bench_fft.rs:106-297``.)
+Measurement methodology (two problems, two mechanisms):
+
+1. Some TPU attachments (tunneled relays) report async completion before
+   execution finishes, making ``block_until_ready`` loops meaningless.
+   ``timeit_chained`` therefore builds a *data-dependency chain* of N
+   applications of the op inside ONE executable (``lax.fori_loop``) and
+   forces a scalar reduction transfer at the end; the chip cannot skip or
+   overlap the chained work.
+
+2. Every executable *launch* over the tunnel costs a fixed ~20-25 ms
+   (dispatch + scalar readback round-trip), so wall-clock / N converges
+   to the true per-op time only for impractically long chains (a 2^20
+   FFT reads 640 us/op at N=50 and is still 20% high at N=800; the true
+   time is ~150 us). ``timeit_chained`` therefore measures
+   *differentially*: time chains of N1 and N2 > N1 iterations and return
+   the slope (T2 - T1) / (N2 - N1) — the fixed launch cost cancels
+   exactly. N2 is auto-scaled so the slope term dominates tunnel jitter.
+
+(The reference's criterion harness plays the allocation/variance role of
+this file, ``bench_fft.rs:106-297``.)
 """
 
 from __future__ import annotations
@@ -23,28 +35,92 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit_chained(fn: Callable, operand, iters: int = 20,
-                   warmup: int = 2) -> float:
-    """Per-op seconds for ``fn(pytree) -> pytree`` of identical structure
-    and shapes/dtypes, chained ``iters`` times through one executable."""
-    @jax.jit
-    def chained(a):
-        return jax.lax.fori_loop(0, iters, lambda _, acc: fn(acc), a)
-
-    @jax.jit
-    def reduce(t):
-        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(t))
-
-    def run(a):
-        # scalar reduction transfer forces true completion
-        return float(np.asarray(reduce(chained(a))))
-
-    for _ in range(warmup):
-        run(operand)
+def _differential(make_runner: Callable, operand, iters: int,
+                  warmup: int, target_time: float) -> float:
+    """Slope of wall-clock vs chain length for ``make_runner(N)(operand)``
+    — the per-launch fixed cost cancels exactly."""
+    n1 = 25
+    run1 = make_runner(n1)
+    for _ in range(max(1, warmup)):
+        run1(operand)
     t0 = time.perf_counter()
-    run(operand)
-    dt = time.perf_counter() - t0
-    return dt / iters
+    run1(operand)
+    t_n1 = time.perf_counter() - t0          # ~ fixed + n1 * t_op
+
+    def measure(delta):
+        run2 = make_runner(n1 + delta)
+        run2(operand)                         # compile + warm
+        best = None
+        t1 = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run2(operand)
+            t_hi = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run1(operand)
+            t_lo = time.perf_counter() - t0
+            slope = (t_hi - t_lo) / delta
+            best = slope if best is None else min(best, slope)
+            t1 = t_lo if t1 is None else min(t1, t_lo)
+        return max(best, 1e-9), t1
+
+    # pick the delta from the pilot's upper bound on t_op (the pilot
+    # includes the full fixed launch cost, so this delta can be far too
+    # small for cheap ops — refine once from the first slope estimate)
+    t_ub = t_n1 / n1
+    delta = int(max(iters, min(1_000_000, target_time / max(t_ub, 1e-9))))
+    slope, t1 = measure(delta)
+    fixed = max(t1 - n1 * slope, 0.0)
+    if slope * delta < 8 * fixed:
+        delta = int(max(delta + 1,
+                        min(1_000_000, target_time / max(slope, 1e-9))))
+        slope, _ = measure(delta)
+    return slope
+
+
+def timeit_chained(fn: Callable, operand, iters: int = 20,
+                   warmup: int = 2, target_time: float = 0.4) -> float:
+    """True per-op seconds for ``fn(pytree) -> pytree`` of identical
+    structure/shapes/dtypes, via differential chained timing (see module
+    docstring). ``iters`` is kept as a lower bound on the chain-length
+    delta for API compatibility; the delta is auto-scaled so the op term
+    dominates tunnel jitter (~``target_time`` seconds of chained work)."""
+    def make_runner(n: int):
+        @jax.jit
+        def chained(a):
+            return jax.lax.fori_loop(0, n, lambda _, acc: fn(acc), a)
+
+        @jax.jit
+        def reduce(t):
+            return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(t))
+
+        def run(a):
+            # scalar reduction transfer forces true completion
+            return float(np.asarray(reduce(chained(a))))
+
+        return run
+
+    return _differential(make_runner, operand, iters, warmup, target_time)
+
+
+def timeit_chained_scalar(step: Callable, operand, iters: int = 20,
+                          warmup: int = 2, target_time: float = 0.4) -> float:
+    """Differential chained timing for ops whose output shape differs from
+    the input (rfft, stft, ...): ``step(operand, acc) -> acc`` must fold
+    the op's output into a float32 scalar carry that perturbs the next
+    iteration's input, forming the data-dependency chain."""
+    def make_runner(n: int):
+        @jax.jit
+        def chained(a):
+            return jax.lax.fori_loop(
+                0, n, lambda _, acc: step(a, acc), jnp.float32(0.0))
+
+        def run(a):
+            return float(np.asarray(chained(a)))
+
+        return run
+
+    return _differential(make_runner, operand, iters, warmup, target_time)
 
 
 @dataclasses.dataclass
