@@ -147,10 +147,28 @@ def resolve_backend(backend: Optional[str] = None) -> str:
     return "xla"
 
 
+def _jnp_fft_zone(shape, n: int) -> bool:
+    """Shape class where XLA's built-in FFT is the measured-fastest engine
+    (v5e, differential chained timing): batched mid-size pow2 transforms.
+    XLA's hand-written FFT does those in a single HBM pass (11-14 Gpts/s)
+    where the two-stage Pallas kernel necessarily pays two (7-10 Gpts/s);
+    everywhere else the Pallas/matmul engines win (2.0x at 2^20, 3-7x on
+    single mid-size transforms). The analog of the reference picking the
+    fastest SIMD backend per CPU at runtime (``src/fft.rs:1954-1985``)."""
+    if n & (n - 1) or not ((1 << 12) <= n <= (1 << 16)):
+        return False
+    total = n
+    for s in shape[:-1]:
+        total *= s
+    return total >= (1 << 18)
+
+
 def _fft_traced_planes(xr, xi, n: int, inverse: bool, norm: Optional[str],
                        backend: str):
     """Traceable planes->planes DFT along the last axis, normalized."""
     dtype = str(xr.dtype)
+    if backend == "pallas" and _jnp_fft_zone(xr.shape, n):
+        backend = "jnpfft"
     if backend == "jnpfft":
         x = merge(xr, xi)
         y = jnp.fft.ifft(x) * n if inverse else jnp.fft.fft(x)

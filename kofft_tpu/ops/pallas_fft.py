@@ -3,11 +3,21 @@
 The XLA matmul engine (ops/fft.py) already rides the MXU; the Pallas layer
 exists to fuse what XLA will not: the four-step's twiddle multiply into the
 matmul epilogues and the inter-stage transpose into VMEM-resident tiles,
-one HBM round-trip for the whole transform instead of one per step.
+one HBM round-trip per stage instead of one per step.
 
 Kernel inventory grows over time; ``pallas_supported`` gates dispatch so the
 engine degrades gracefully to the XLA path (mirroring the reference's SIMD
 facade delegating to the scalar engine, ``src/fft.rs:1714-1951``).
+
+Negative result (recorded so it is not repeated): a single-pass kernel for
+VMEM-sized n (both four-step stages + twiddle + transpose in one
+pallas_call, halving HBM traffic) measured *slower* than the two-stage
+path — the in-VMEM lane<->sublane transpose between the stages costs about
+as much as the HBM pass it saves, and Mosaic rejects several (bt, n1, n2)
+shapes outright. XLA's built-in FFT does win the batched mid-size zone
+with a hand-written single pass, so the engine dispatches that zone to it
+(see ``_fft_traced_planes``) — the measured-fastest-engine-per-shape-class
+registry the reference implements as ``new_fft_impl``.
 """
 
 from __future__ import annotations
@@ -21,11 +31,9 @@ def _on_tpu() -> bool:
 
 def pallas_supported(n: int, dtype: str) -> bool:
     """Which (n, dtype) the fused Pallas path covers right now: the
-    multi-level kernel for pow2 n in [2^14, 2^24] on f32 planes. Measured
-    on v5e (chained-dependency timing, dispatch latency amortized): 2^20
-    c32 in 234 us at 135 dB SNR vs jnp.fft's 360 us at 127.5 dB — 1.54x
-    faster at higher accuracy; the two-factor kernel (kept for
-    reference/tests) loses to the multi-level one.
+    multi-level two-stage kernel for pow2 n in [2^14, 2^24] on f32 planes.
+    Measured on v5e (differential chained timing): 2^20 c32 in 157 us at
+    135 dB SNR vs jnp.fft's 312 us — 2.0x faster at higher accuracy.
     KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces the XLA path."""
     import os
     if os.environ.get("KOFFT_TPU_DISABLE_PALLAS_FFT") == "1":
@@ -37,10 +45,17 @@ def pallas_supported(n: int, dtype: str) -> bool:
 
 
 def pallas_fft_planes(xr, xi, n: int, inverse: bool):
-    """Unnormalized DFT on SoA planes via the fused Pallas kernel.
+    """Unnormalized DFT on SoA planes via the fused Pallas kernels.
     Inverse uses the shared-constant conjugation identity (n * ifft)."""
     from .pallas_kernels import fused_multilevel_fft
     if inverse:
         yr, yi = fused_multilevel_fft(xr, -xi, n)
         return yr, -yi
     return fused_multilevel_fft(xr, xi, n)
+
+
+def pallas_rfft_planes(x, n: int):
+    """Unnormalized full-spectrum DFT of a REAL signal (single plane in
+    HBM); callers slice to one-sided."""
+    from .pallas_kernels import fused_multilevel_rfft
+    return fused_multilevel_rfft(x, n)

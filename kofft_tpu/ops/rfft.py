@@ -50,10 +50,14 @@ def _rfft_planes(x, n: int, backend: str):
     (no zero-imag HBM traffic, 2 leaf dots instead of 3)."""
     dtype = str(x.dtype)
     if backend == "pallas":
-        from .pallas_fft import pallas_supported
+        from .fft import _jnp_fft_zone
+        from .pallas_fft import pallas_supported, pallas_rfft_planes
+        if _jnp_fft_zone(x.shape, n):
+            # measured-fastest engine for batched mid-size transforms
+            y = jnp.fft.rfft(x, n)
+            return jnp.real(y), jnp.imag(y)
         if pallas_supported(n, dtype):
-            from .pallas_kernels import fused_multilevel_rfft
-            yr, yi = fused_multilevel_rfft(x, n)
+            yr, yi = pallas_rfft_planes(x, n)
             return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
         backend = "xla"
     yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
