@@ -88,6 +88,33 @@ def main() -> None:
                                tb * 1e9, 1.0 / tb, platform))
     log(f"8x2^20 batched: {tb * 1e3:.3f} ms = {bt * n / tb / 1e9:.2f} Gpts/s")
 
+    # batched mid-size rows: the shape class where the engine dispatches
+    # to the measured-fastest backend per class (ops/fft.py:_jnp_fft_zone)
+    brm = jnp.asarray(rng.standard_normal((256, 1 << 14)).astype(np.float32))
+    bim = jnp.asarray(rng.standard_normal((256, 1 << 14)).astype(np.float32))
+    tbm = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (brm, bim))
+    records.append(BenchRecord("kofft_tpu", "complex", 1 << 14, "batch256",
+                               tbm * 1e9, 1.0 / tbm, platform))
+    log(f"256x2^14 batched: {tbm * 1e3:.3f} ms = "
+        f"{256 * (1 << 14) / tbm / 1e9:.2f} Gpts/s")
+
+    # N-D rows (single-chip; the sharded path is benchmarks/scaling_study.py)
+    from kofft_tpu.ops.ndfft import fftn_split
+    x3r = jnp.asarray(rng.standard_normal((128, 128, 128)).astype(np.float32))
+    x3i = jnp.asarray(rng.standard_normal((128, 128, 128)).astype(np.float32))
+    t3d = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x3r, x3i))
+    records.append(BenchRecord("kofft_tpu", "fft3d", 128 ** 3, "single",
+                               t3d * 1e9, 1.0 / t3d, platform))
+
+    def jfftn(q):
+        y = jnp.fft.fftn(jax.lax.complex(q[0], q[1]))
+        return jnp.real(y), jnp.imag(y)
+
+    t3dj = timeit_chained(jfftn, (x3r, x3i))
+    records.append(BenchRecord("jnpfft", "fft3d", 128 ** 3, "single",
+                               t3dj * 1e9, 1.0 / t3dj, platform))
+    log(f"fft3 128^3: {t3d * 1e6:.1f} us (jnp {t3dj * 1e6:.1f} us)")
+
     # ---- real FFT 2^20 (output shape differs from input, so the chain
     # feeds a scalar back into the input instead of the output pytree) ---
     xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
