@@ -73,3 +73,80 @@ def test_multilevel_batch_interpret(rng):
                                   interpret=True)
     ref = np.fft.fft(x.astype(np.float64))
     assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
+@pytest.mark.parametrize("batch", [(6,), (2, 4)])
+def test_multilevel_batch_tiled_interpret(rng, batch):
+    """Batch folding (bt > 1) must not change results for any divisible
+    batch, including non-pow2 and multi-dim batches."""
+    from kofft_tpu.ops.pallas_kernels import (_ml_batch_tile,
+                                              fused_multilevel_fft)
+    import jax.numpy as jnp
+    n = 1 << 14
+    b = int(np.prod(batch))
+    assert _ml_batch_tile(b, 128, 128) > 1   # the folding actually engages
+    x = (rng.standard_normal(batch + (n,))
+         + 1j * rng.standard_normal(batch + (n,))).astype(np.complex64)
+    yr, yi = fused_multilevel_fft(
+        jnp.asarray(np.ascontiguousarray(x.real)),
+        jnp.asarray(np.ascontiguousarray(x.imag)), n, interpret=True)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
+def test_multilevel_rfft_interpret(rng):
+    """Real-input stage 1 (single plane in HBM) matches the full FFT of
+    the real signal."""
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_rfft
+    n = 1 << 14
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    yr, yi = fused_multilevel_rfft(x, n, interpret=True)
+    ref = np.fft.fft(x.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
+@pytest.mark.parametrize("mode", ["highest", "high", "default"])
+def test_precision_modes_interpret(rng, mode):
+    """All three kernel precision modes produce the right transform (the
+    interpreter computes in f32, so even 'default' is near-exact here —
+    this pins the mode plumbing and the bf16x3/Karatsuba formulations)."""
+    from kofft_tpu import config
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_fft
+    n = 1 << 14
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    config.set_precision(mode)
+    try:
+        yr, yi = fused_multilevel_fft(
+            np.ascontiguousarray(x.real)[None],
+            np.ascontiguousarray(x.imag)[None], n, interpret=True)
+    finally:
+        config.set_precision(None)
+    got = np.asarray(yr)[0] + 1j * np.asarray(yi)[0]
+    # bf16x3 ('high') rounds through bfloat16 even in interpret mode
+    floor = 95.0 if mode == "high" else 100.0
+    assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > floor
+
+
+def test_jnp_fft_zone_boundaries():
+    """The measured-fastest-engine zone: batched mid-size pow2 only."""
+    from kofft_tpu.ops.fft import _jnp_fft_zone
+    assert _jnp_fft_zone((256, 1 << 14), 1 << 14)        # batched mid
+    assert _jnp_fft_zone((16, 1 << 16), 1 << 16)
+    assert not _jnp_fft_zone((1, 1 << 14), 1 << 14)      # single: ours wins
+    assert not _jnp_fft_zone((8, 1 << 20), 1 << 20)      # large n: pallas
+    assert not _jnp_fft_zone((4096, 1000), 1000)         # non-pow2
+    assert not _jnp_fft_zone((4096, 1 << 11), 1 << 11)   # below zone
+
+
+def test_jnpfft_backend_matches_oracle(rng):
+    """The jnpfft engine (used inside the dispatch zone) stays on
+    contract for values and normalization."""
+    import kofft_tpu as kt
+    n = 1 << 12
+    x = (rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+         ).astype(np.complex64)
+    got = kt.asnumpy(kt.fft(x, backend="jnpfft"))
+    assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
+    back = kt.asnumpy(kt.ifft(got, backend="jnpfft"))
+    assert np.abs(back - x).max() < 1e-3
