@@ -63,13 +63,25 @@ def _matrix(kind: int, n: int, dtype: str):
                          lambda: _dct_matrix_np(kind, n).astype(dtype))
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_apply(kind: int, n: int, dtype: str):
-    m = _matrix(kind, n, dtype)
+# Above this the cosine matrix is too big to be a sane device constant
+# (n^2 floats: 64 MB at 4096) and the O(n log n) FFT-composed path wins —
+# the TPU analog of the reference DctPlanner's length-2n rfft route
+# (``dct.rs:22-105``). Matmul stays the oracle and the fast path for
+# small/mid n. Tunable for tests.
+FAST_CUTOFF = 4096
 
-    def f(x):
-        return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
-    return jax.jit(f)
+
+def _traced(kind: int, x, n: int, dtype: str):
+    if n > FAST_CUTOFF and n >= 2:
+        from ._trig import fast_dct
+        return fast_dct(kind, x)
+    m = _matrix(kind, n, dtype)
+    return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_apply(kind: int, n: int, dtype: str, cutoff: int):
+    return jax.jit(lambda x: _traced(kind, x, n, dtype))
 
 
 def _apply(kind: int, x):
@@ -80,9 +92,8 @@ def _apply(kind: int, x):
     n = x.shape[-1]
     dtype = "float32" if host else str(x.dtype)
     if isinstance(x, jax.core.Tracer):
-        m = _matrix(kind, n, dtype)
-        return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
-    return _jit_apply(kind, n, dtype)(x)
+        return _traced(kind, x, n, dtype)
+    return _jit_apply(kind, n, dtype, FAST_CUTOFF)(x)
 
 
 def dct1(x):

@@ -53,13 +53,21 @@ def _matrix(kind: int, n: int, dtype: str):
                          lambda: _dst_matrix_np(kind, n).astype(dtype))
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_apply(kind: int, n: int, dtype: str):
-    m = _matrix(kind, n, dtype)
+# Same large-n FFT-composed route as ops/dct.py (see the note there).
+FAST_CUTOFF = 4096
 
-    def f(x):
-        return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
-    return jax.jit(f)
+
+def _traced(kind: int, x, n: int, dtype: str):
+    if n > FAST_CUTOFF and n >= 2:
+        from ._trig import fast_dst
+        return fast_dst(kind, x)
+    m = _matrix(kind, n, dtype)
+    return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_apply(kind: int, n: int, dtype: str, cutoff: int):
+    return jax.jit(lambda x: _traced(kind, x, n, dtype))
 
 
 def _apply(kind: int, x):
@@ -70,9 +78,8 @@ def _apply(kind: int, x):
     n = x.shape[-1]
     dtype = "float32" if host else str(x.dtype)
     if isinstance(x, jax.core.Tracer):
-        m = _matrix(kind, n, dtype)
-        return jnp.einsum("...i,ik->...k", x, m, precision=lax_precision())
-    return _jit_apply(kind, n, dtype)(x)
+        return _traced(kind, x, n, dtype)
+    return _jit_apply(kind, n, dtype, FAST_CUTOFF)(x)
 
 
 def dst1(x):

@@ -194,3 +194,56 @@ def test_mfcc_too_many_coeffs_raises():
     import kofft_tpu as kt
     with pytest.raises(kt.KofftError):
         cepstrum.mfcc(np.ones(64, np.float32), 8000.0, 10, 11)
+
+
+# ---------------------------------------------------------------------------
+# FFT-composed large-n fast paths (ops/_trig.py) vs the matrix oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [384, 777, 1024])
+def test_fast_dct_matches_matrix(rng, kind, n):
+    """The O(n log n) route must reproduce the cosine-matrix transform
+    (reference conventions) for smooth, rough (Bluestein) and pow2 n."""
+    from kofft_tpu.ops import dct as D
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    want = np.asarray(D.dct(x, type=kind))
+    old = D.FAST_CUTOFF
+    D.FAST_CUTOFF = 16            # force the FFT-composed route
+    try:
+        got = np.asarray(D.dct(x, type=kind))
+    finally:
+        D.FAST_CUTOFF = old
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-4 * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("kind", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", [384, 777, 1024])
+def test_fast_dst_matches_matrix(rng, kind, n):
+    from kofft_tpu.ops import dst as S
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    want = np.asarray(S.dst(x, type=kind))
+    old = S.FAST_CUTOFF
+    S.FAST_CUTOFF = 16
+    try:
+        got = np.asarray(S.dst(x, type=kind))
+    finally:
+        S.FAST_CUTOFF = old
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-4 * max(scale, 1.0)
+
+
+def test_large_dct_runs_without_matrix(rng):
+    """Above the cutoff no n^2 table is built — a 2^15-point DCT-II would
+    need a 4 GB matrix; the fast path must handle it."""
+    from kofft_tpu.ops import dct as D
+    n = 1 << 15
+    x = rng.standard_normal(n).astype(np.float32)
+    got = np.asarray(D.dct(x, type=2))
+    assert got.shape == (n,)
+    # spot-check one analytic value: DCT-II of ones at k=0 is n
+    ones = np.ones(n, np.float32)
+    g0 = np.asarray(D.dct(ones, type=2))
+    assert abs(g0[0] - n) < 1e-2 * n
+    assert np.abs(g0[1:]).max() < 0.2   # all other bins ~0
