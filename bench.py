@@ -148,6 +148,52 @@ def main() -> None:
     log(f"STFT 2^20 samples (win={win}, hop={hop}): {tstft * 1e3:.3f} ms "
         f"= {nframes / tstft / 1e6:.2f} Mframes/s")
 
+    # ---- BASELINE config #2: rfft + DCT-II/DST-II over 4096x1024 real
+    # frames (examples/rfft_usage.rs, dct_usage.rs workload shape) --------
+    from kofft_tpu.ops import dct as DCT, dst as DST
+    frames = jnp.asarray(rng.standard_normal((4096, 1024)).astype(np.float32))
+
+    def frame_suite_step(a, acc):
+        ar = a * (1.0 + 1e-9 * acc)
+        yr, yi = kt.rfft_split(ar)
+        d2 = DCT.dct2(ar)
+        s2 = DST.dst2(ar)
+        return acc + (yr[0, 0] + d2[0, 0] + s2[0, 0]) * 1e-20
+
+    tfs = timeit_chained_scalar(frame_suite_step, frames)
+    records.append(BenchRecord("kofft_tpu", "rfft+dct2+dst2", 1024,
+                               "batch4096", tfs * 1e9, 1.0 / tfs, platform))
+    log(f"rfft+DCT-II+DST-II 4096x1024 frames: {tfs * 1e3:.3f} ms")
+
+    # ---- BASELINE config #4: Bluestein + CZT + Goertzel + wavelet suite -
+    from kofft_tpu.ops.czt import czt_fast
+    from kofft_tpu.ops.goertzel import goertzel_bins
+    from kofft_tpu.ops.wavelet import wavelet_forward
+    sig_np = rng.standard_normal((1 << 16,)).astype(np.float32)
+    prime_r = jnp.asarray(rng.standard_normal((1, 4099)).astype(np.float32))
+    prime_i = jnp.asarray(rng.standard_normal((1, 4099)).astype(np.float32))
+    tblu = timeit_chained(lambda q: kt.fft_split(q[0], q[1]),
+                          (prime_r, prime_i))
+    records.append(BenchRecord("kofft_tpu", "bluestein", 4099, "single",
+                               tblu * 1e9, 1.0 / tblu, platform))
+    sj = jnp.asarray(sig_np)
+
+    czt_w = complex(np.exp(-2j * np.pi / (1 << 16)))
+
+    def suite_step(a, acc):
+        ar = a * (1.0 + 1e-9 * acc)
+        c = czt_fast(ar, 1 << 10, czt_w)
+        g = goertzel_bins(ar, range(1, 33))
+        lo, hi = wavelet_forward(ar, "db4")
+        return acc + (jnp.real(c)[0] + g[0] + lo[0] + hi[0]) * 1e-20
+
+    tsuite = timeit_chained_scalar(suite_step, sj)
+    records.append(BenchRecord("kofft_tpu", "czt+goertzel+wavelet", 1 << 16,
+                               "single", tsuite * 1e9, 1.0 / tsuite,
+                               platform))
+    log(f"Bluestein 4099: {tblu * 1e6:.1f} us; "
+        f"CZT+Goertzel+db4 suite 2^16: {tsuite * 1e3:.3f} ms")
+
     # ---- SNR gate (quality guard on the headline path) ----------------
     small = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
              ).astype(np.complex64)

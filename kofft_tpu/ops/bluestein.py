@@ -40,7 +40,7 @@ def _bfft_tables(n: int, m: int, dtype: str):
 
 def _bluestein_planes(xr, xi, n: int, dtype: str):
     """Unnormalized forward DFT of non-smooth length n on SoA planes."""
-    from .fft import _fft_planes  # pow2 path; no recursion back into here
+    from .fft import engine_fft_planes  # pow2 path; no recursion back here
 
     m = next_pow2(2 * n - 1)
     cr, ci = tables.chirp(n, dtype)
@@ -50,11 +50,11 @@ def _bluestein_planes(xr, xi, n: int, dtype: str):
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
 
-    fr, fi = _fft_planes(ar, ai, m, False, "xla", dtype)
+    fr, fi = engine_fft_planes(ar, ai, m, False, dtype)
     br, bi = _bfft_tables(n, m, dtype)
     pr, pi = cmul(fr, fi, br, bi)
     # unnormalized inverse (= m * ifft), so scale by 1/m
-    qr, qi = _fft_planes(pr, pi, m, True, "xla", dtype)
+    qr, qi = engine_fft_planes(pr, pi, m, True, dtype)
     qr = qr[..., :n] * (1.0 / m)
     qi = qi[..., :n] * (1.0 / m)
     return cmul(qr, qi, cr, ci)

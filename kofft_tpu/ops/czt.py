@@ -27,7 +27,7 @@ from ..config import lax_precision
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import next_pow2, tables
 from ._complex import cmul, merge
-from .fft import _fft_planes, _is_tracer, complex_io_supported
+from .fft import engine_fft_planes, _is_tracer, complex_io_supported
 
 __all__ = ["czt", "czt_fast", "czt_split"]
 
@@ -119,9 +119,9 @@ def _czt_fast_fn(n: int, m: int, w: complex, a: complex, dtype: str):
         ar, ai = xx * pre_r, xx * pre_i
         pad = [(0, 0)] * (ar.ndim - 1) + [(0, L - n)]
         ar, ai = jnp.pad(ar, pad), jnp.pad(ai, pad)
-        fr, fi = _fft_planes(ar, ai, L, False, "xla", dtype)
+        fr, fi = engine_fft_planes(ar, ai, L, False, dtype)
         pr, pi = cmul(fr, fi, bfr, bfi)
-        qr, qi = _fft_planes(pr, pi, L, True, "xla", dtype)
+        qr, qi = engine_fft_planes(pr, pi, L, True, dtype)
         qr, qi = qr[..., :m] / L, qi[..., :m] / L
         return cmul(qr, qi, post_r, post_i)
 

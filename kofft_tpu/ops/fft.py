@@ -163,6 +163,26 @@ def _jnp_fft_zone(shape, n: int) -> bool:
     return total >= (1 << 18)
 
 
+def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str):
+    """Backend-dispatched UNNORMALIZED DFT on planes (inverse = n * ifft)
+    for composite transforms (Bluestein kernel FFTs, CZT, large-n DCT/DST)
+    — so their inner pow2 transforms ride the fused Pallas kernels / the
+    zone dispatch instead of being pinned to the XLA tree."""
+    b = resolve_backend(None)
+    if b == "pallas" and _jnp_fft_zone(xr.shape, n):
+        b = "jnpfft"
+    if b == "jnpfft":
+        x = merge(xr, xi)
+        y = jnp.fft.ifft(x) * n if inverse else jnp.fft.fft(x)
+        return jnp.real(y), jnp.imag(y)
+    if b == "pallas":
+        from .pallas_fft import pallas_supported, pallas_fft_planes
+        if pallas_supported(n, dtype):
+            return pallas_fft_planes(xr, xi, n, inverse)
+        b = "xla"
+    return _fft_planes(xr, xi, n, inverse, b, dtype)
+
+
 def _fft_traced_planes(xr, xi, n: int, inverse: bool, norm: Optional[str],
                        backend: str):
     """Traceable planes->planes DFT along the last axis, normalized."""

@@ -138,23 +138,88 @@ def _maybe_np(y, host):
 
 @functools.lru_cache(maxsize=None)
 def _jit_forward(family: str, n: int):
-    idx, h, g = _analysis_consts(family, n)
+    """Analysis as a stride-2 depthwise conv (both filters as output
+    channels) over the signal extended by its reflected tail — gather-free.
+    Only the tail can leave [0, n): 2i + k >= 0 always, and for n >= taps
+    one reflection suffices (index max n+taps-3 <= 2(n-1)), so the exact
+    reference reflection reduces to appending flip(x[n-taps+1 : n-1]).
+    Measured on v5e at 2^16/db4: 1886 us (index-matrix gather) -> conv.
+    Tiny n keeps the gather path (multiple reflections)."""
+    h, g, _, _ = FAMILIES[family]
+    taps = len(h)
+
+    if n < 2 * taps:
+        idx, h_t, g_t = _analysis_consts(family, n)
+
+        def f_gather(x):
+            win = x[..., idx]             # (..., n/2, taps)
+            return jnp.tensordot(win, h_t, axes=(-1, 0)), \
+                jnp.tensordot(win, g_t, axes=(-1, 0))
+        return jax.jit(f_gather)
+
+    kern = np.stack([h, g]).astype(np.float32)[:, None, :]  # (2, 1, taps)
 
     def f(x):
-        win = x[..., idx]                 # (..., n/2, taps)
-        return jnp.tensordot(win, h, axes=(-1, 0)), \
-            jnp.tensordot(win, g, axes=(-1, 0))
+        batch = x.shape[:-1]
+        b = 1
+        for s in batch:
+            b *= s
+        if taps > 2:
+            tail = jnp.flip(x[..., n - taps + 1: n - 1], axis=-1)
+            xp = jnp.concatenate([x, tail], axis=-1)
+        else:
+            xp = x
+        out = jax.lax.conv_general_dilated(
+            xp.reshape(b, 1, xp.shape[-1]), jnp.asarray(kern),
+            window_strides=(2,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)   # (b, 2, n//2)
+        return (out[:, 0].reshape(*batch, n // 2),
+                out[:, 1].reshape(*batch, n // 2))
     return jax.jit(f)
 
 
 @functools.lru_cache(maxsize=None)
 def _jit_inverse(family: str, n_half: int):
-    idx, gs, hs = _synthesis_consts(family, n_half)
+    """Synthesis as a fractionally-strided (lhs-dilated) conv producing the
+    linear scatter y_lin[2i+k] += gs[k] a[i] + hs[k] d[i], then folding the
+    over-the-edge tail back with one static flip-add — the exact
+    scatter-with-reflection of the reference, gather/scatter-free."""
+    _, _, gs, hs = FAMILIES[family]
+    taps = len(gs)
+    n = 2 * n_half
+
+    if n < 2 * taps:
+        idx, gs_t, hs_t = _synthesis_consts(family, n_half)
+
+        def f_scatter(a, d):
+            contrib = (a[..., :, None] * gs_t + d[..., :, None] * hs_t)
+            out = jnp.zeros((*a.shape[:-1], n), dtype=a.dtype)
+            return out.at[..., idx].add(contrib)
+        return jax.jit(f_scatter)
+
+    # rhs[o=1, c=2, k] = K[c, taps-1-k] (correlation of the dilated lhs
+    # with the reversed bank sums both channels)
+    kern = np.stack([gs, hs]).astype(np.float32)[:, ::-1]
+    rhs = np.ascontiguousarray(kern[None])            # (1, 2, taps)
 
     def f(a, d):
-        contrib = (a[..., :, None] * gs + d[..., :, None] * hs)
-        out = jnp.zeros((*a.shape[:-1], 2 * n_half), dtype=a.dtype)
-        return out.at[..., idx].add(contrib)
+        batch = a.shape[:-1]
+        b = 1
+        for s in batch:
+            b *= s
+        lhs = jnp.stack([a.reshape(b, n_half), d.reshape(b, n_half)],
+                        axis=1)                        # (b, 2, n_half)
+        y = jax.lax.conv_general_dilated(
+            lhs, jnp.asarray(rhs), window_strides=(1,),
+            padding=[(taps - 1, taps - 1)], lhs_dilation=(2,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=jax.lax.Precision.HIGHEST)[:, 0]  # (b, n + taps - 2)
+        out = y[..., :n]
+        if taps > 2:
+            out = out.at[..., n - taps + 1: n - 1].add(
+                jnp.flip(y[..., n:], axis=-1))
+        return out.reshape(*batch, n)
     return jax.jit(f)
 
 
