@@ -148,6 +148,24 @@ def main() -> None:
     log(f"STFT 2^20 samples (win={win}, hop={hop}): {tstft * 1e3:.3f} ms "
         f"= {nframes / tstft / 1e6:.2f} Mframes/s")
 
+    # inverse (overlap-add) leg of the config-#3 pipeline
+    sfr, sfi = kt.stft_split(np.asarray(sig), w, hop, onesided=False)
+    sfr = jnp.asarray(np.asarray(sfr))
+    sfi = jnp.asarray(np.asarray(sfi))
+
+    def istft_step(p, acc):
+        a, b2 = p
+        y = kt.istft_split(a * (1.0 + 1e-9 * acc), b2, w, hop,
+                           length=1 << 20)
+        return acc + y[0] * 1e-20
+
+    tistft = timeit_chained_scalar(istft_step, (sfr, sfi))
+    records.append(BenchRecord("kofft_tpu", "istft_frames", nframes,
+                               "single", tistft * 1e9 / nframes,
+                               nframes / tistft, platform))
+    log(f"ISTFT 2^20 samples: {tistft * 1e3:.3f} ms "
+        f"= {nframes / tistft / 1e6:.2f} Mframes/s")
+
     # ---- BASELINE config #2: rfft + DCT-II/DST-II over 4096x1024 real
     # frames (examples/rfft_usage.rs, dct_usage.rs workload shape) --------
     from kofft_tpu.ops import dct as DCT, dst as DST

@@ -102,16 +102,21 @@ def _build_istft(mesh_key, nf_local: int, win: int, hop: int,
     w = _window_cache[window_key]
     halo = max(0, win - hop)
     n_local = nf_local * hop
-    idx = _frame_indices(nf_local, win, hop)
     wsq = (w * w).astype(np.float32)
 
     def body(fr, fi):  # (nf_local, win) each
+        from ..ops.stft import _ola_add
         tr, _ = _fft_planes(fr, fi, win, True, backend, "float32")
         y = (tr / win) * w
-        acc = jnp.zeros(n_local + halo, jnp.float32)
-        acc = acc.at[idx].add(y)
-        norm = jnp.zeros(n_local + halo, jnp.float32)
-        norm = norm.at[idx].add(jnp.broadcast_to(wsq, (nf_local, win)))
+        # gather-free OLA (see ops/stft._ola_add); local span is
+        # (nf_local - 1) * hop + win = n_local + halo
+        acc = _ola_add(y, win, hop, nf_local)
+        norm = _ola_add(jnp.broadcast_to(wsq, (nf_local, win)), win, hop,
+                        nf_local)
+        if acc.shape[-1] < n_local + halo:     # win < hop: sparse frames
+            pad = [(0, n_local + halo - acc.shape[-1])]
+            acc = jnp.pad(acc, pad)
+            norm = jnp.pad(norm, pad)
         if halo > 0:
             # my tail overlaps the right neighbor's head: send tail right
             perm = [(i, (i + 1) % d) for i in range(d)]
