@@ -1,6 +1,11 @@
 """Basic FFT usage (reference examples/basic_usage.rs analog):
 1024-point c32 FFT + ifft round-trip — BASELINE.json config #1."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import kofft_tpu as kt

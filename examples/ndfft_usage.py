@@ -1,6 +1,11 @@
 """N-D FFT usage, single-chip and mesh-sharded (reference
 examples/ndfft_usage.rs analog + the distributed pencil path)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

@@ -2,6 +2,11 @@
 dct_usage.rs analogs) — BASELINE.json config #2: rfft + DCT-II/DST-II over
 4096x1024-sample real frames."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import kofft_tpu as kt

@@ -1,6 +1,11 @@
 """STFT → spectrogram → ISTFT pipeline (reference examples/stft_usage.rs +
 spectrogram.rs analogs) — BASELINE.json config #3 (Hann, 75% overlap)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import kofft_tpu as kt

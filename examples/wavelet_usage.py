@@ -1,6 +1,11 @@
 """Wavelet usage (reference examples/wavelet_usage.rs analog): compat
 single-level transforms + the perfect-reconstruction DWT superset."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import kofft_tpu as kt
