@@ -66,15 +66,21 @@ def _differential(make_runner: Callable, operand, iters: int,
 
     # pick the delta from the pilot's upper bound on t_op (the pilot
     # includes the full fixed launch cost, so this delta can be far too
-    # small for cheap ops — refine once from the first slope estimate)
+    # small for cheap ops), then grow geometrically until the op term
+    # dominates tunnel jitter. Growth is bounded: a one-shot jump sized
+    # from a noise-floored slope can build a multi-second executable,
+    # which the tunneled attachment's watchdog kills (observed as
+    # worker-process crashes).
     t_ub = t_n1 / n1
-    delta = int(max(iters, min(1_000_000, target_time / max(t_ub, 1e-9))))
+    delta = int(max(iters, min(200_000, target_time / max(t_ub, 1e-9))))
     slope, t1 = measure(delta)
-    fixed = max(t1 - n1 * slope, 0.0)
-    if slope * delta < 8 * fixed:
-        delta = int(max(delta + 1,
-                        min(1_000_000, target_time / max(slope, 1e-9))))
-        slope, _ = measure(delta)
+    for _ in range(4):
+        fixed = max(t1 - n1 * slope, 0.0)
+        credible = slope * delta >= max(8 * fixed, 0.05)
+        if credible or delta >= 200_000:
+            break
+        delta = int(min(200_000, delta * 8))
+        slope, t1 = measure(delta)
     return slope
 
 
