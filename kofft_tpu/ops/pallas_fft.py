@@ -44,9 +44,19 @@ def pallas_supported(n: int, dtype: str) -> bool:
     return multilevel_supported(n)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def pallas_fft_planes(xr, xi, n: int, inverse: bool):
     """Unnormalized DFT on SoA planes via the fused Pallas kernels.
-    Inverse uses the shared-constant conjugation identity (n * ifft)."""
+    Inverse uses the shared-constant conjugation identity (n * ifft).
+
+    Differentiable: pallas_call has no reverse-mode rule, but the DFT is
+    linear with a symmetric matrix, so the VJP is the conjugate-direction
+    transform through the SAME kernels (F^T = F; the real-linear transpose
+    of the forward planes map is the unnormalized inverse, and vice
+    versa) — training through FFT layers stays on the fused path."""
     from .pallas_kernels import fused_multilevel_fft
     if inverse:
         yr, yi = fused_multilevel_fft(xr, -xi, n)
@@ -54,8 +64,38 @@ def pallas_fft_planes(xr, xi, n: int, inverse: bool):
     return fused_multilevel_fft(xr, xi, n)
 
 
+def _fft_planes_fwd(xr, xi, n, inverse):
+    return pallas_fft_planes(xr, xi, n, inverse), None
+
+
+def _fft_planes_bwd(n, inverse, _res, ct):
+    gr, gi = ct
+    # transpose of forward = unnormalized inverse; transpose of inverse
+    # = forward (real-linear maps; see docstring derivation)
+    xr_bar, xi_bar = pallas_fft_planes(gr, gi, n, not inverse)
+    return xr_bar, xi_bar
+
+
+pallas_fft_planes.defvjp(_fft_planes_fwd, _fft_planes_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def pallas_rfft_planes(x, n: int):
     """Unnormalized full-spectrum DFT of a REAL signal (single plane in
-    HBM); callers slice to one-sided."""
+    HBM); callers slice to one-sided. Differentiable (linear: the VJP is
+    the real plane of the unnormalized inverse of the cotangent)."""
     from .pallas_kernels import fused_multilevel_rfft
     return fused_multilevel_rfft(x, n)
+
+
+def _rfft_planes_fwd(x, n):
+    return pallas_rfft_planes(x, n), None
+
+
+def _rfft_planes_bwd(n, _res, ct):
+    gr, gi = ct
+    xr_bar, _ = pallas_fft_planes(gr, gi, n, True)
+    return (xr_bar,)
+
+
+pallas_rfft_planes.defvjp(_rfft_planes_fwd, _rfft_planes_bwd)
