@@ -139,3 +139,73 @@ def test_stft_auto_routes(rng, mesh):
     fr, fi = stft_auto(x, w, hop)
     assert snr_db(ref, np.asarray(fr) + 1j * np.asarray(fi)) > SNR
     set_shard_threshold(None)
+
+
+# ---------------------------------------------------------------------------
+# distributed 1-D FFT (four-step over all-to-all, SURVEY §5.7)
+# ---------------------------------------------------------------------------
+
+def test_fft_sharded_natural_order(rng):
+    from kofft_tpu.parallel import fft_sharded, make_mesh
+    mesh = make_mesh()
+    n = 1 << 12
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    yr, yi = fft_sharded(np.ascontiguousarray(x.real),
+                         np.ascontiguousarray(x.imag), mesh=mesh,
+                         restore_layout=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert snr_db(ref, got) > 100.0
+
+
+def test_fft_sharded_digit_layout(rng):
+    """Default layout: element [k1, k2] of the (n1, n2) view holds
+    X[k1 + n1*k2]."""
+    from kofft_tpu.parallel import fft_sharded, make_mesh
+    from kofft_tpu.parallel.fft_sharded import _split_for_mesh
+    mesh = make_mesh()
+    d = mesh.devices.size
+    n = 1 << 12
+    n1, n2 = _split_for_mesh(n, d)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    yr, yi = fft_sharded(np.ascontiguousarray(x.real),
+                         np.ascontiguousarray(x.imag), mesh=mesh)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(n1, n2)
+    ref = np.fft.fft(x.astype(np.complex128))
+    # undo the digit transpose: got[k1, k2] == X[k1 + n1*k2]
+    unscrambled = got.T.reshape(n)
+    assert snr_db(ref, unscrambled) > 100.0
+
+
+def test_fft_sharded_roundtrip(rng):
+    from kofft_tpu.parallel import fft_sharded, ifft_sharded, make_mesh
+    mesh = make_mesh()
+    n = 1 << 12
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    yr, yi = fft_sharded(np.ascontiguousarray(x.real),
+                         np.ascontiguousarray(x.imag), mesh=mesh,
+                         restore_layout=True)
+    br, bi = ifft_sharded(np.asarray(yr), np.asarray(yi), mesh=mesh,
+                          restore_layout=True)
+    back = np.asarray(br) + 1j * np.asarray(bi)
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_fft_sharded_matches_single_chip(rng):
+    """Distributed result == the single-chip engine (the reference's
+    parallel-vs-serial parity discipline, tests/parallel_stockham.rs)."""
+    import kofft_tpu as kt
+    from kofft_tpu.parallel import fft_sharded, make_mesh
+    mesh = make_mesh()
+    n = 3 * (1 << 10)    # non-pow2 smooth n: 3072 = 2^10 * 3
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    yr, yi = fft_sharded(np.ascontiguousarray(x.real),
+                         np.ascontiguousarray(x.imag), mesh=mesh,
+                         restore_layout=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = kt.asnumpy(kt.fft(x))
+    assert np.abs(got - want).max() < 1e-2 * max(1.0, np.abs(want).max())
