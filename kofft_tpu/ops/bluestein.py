@@ -38,9 +38,13 @@ def _bfft_tables(n: int, m: int, dtype: str):
     return tables.custom(("bluestein_bfft", n, m, dtype), build)
 
 
-def _bluestein_planes(xr, xi, n: int, dtype: str):
-    """Unnormalized forward DFT of non-smooth length n on SoA planes."""
-    from .fft import engine_fft_planes  # pow2 path; no recursion back here
+def _bluestein_planes(xr, xi, n: int, dtype: str, backend: str = "auto"):
+    """Unnormalized forward DFT of non-smooth length n on SoA planes.
+
+    ``backend='auto'`` lets the inner pow2 transforms ride the dispatched
+    engine (Pallas kernels / zones); an explicit 'xla'/'naive' pins them,
+    honoring a caller's forced-backend request end to end."""
+    from .fft import _fft_planes, engine_fft_planes  # no recursion: m pow2
 
     m = next_pow2(2 * n - 1)
     cr, ci = tables.chirp(n, dtype)
@@ -50,11 +54,17 @@ def _bluestein_planes(xr, xi, n: int, dtype: str):
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
 
-    fr, fi = engine_fft_planes(ar, ai, m, False, dtype)
+    if backend in ("xla", "naive"):
+        fr, fi = _fft_planes(ar, ai, m, False, backend, dtype)
+    else:
+        fr, fi = engine_fft_planes(ar, ai, m, False, dtype)
     br, bi = _bfft_tables(n, m, dtype)
     pr, pi = cmul(fr, fi, br, bi)
     # unnormalized inverse (= m * ifft), so scale by 1/m
-    qr, qi = engine_fft_planes(pr, pi, m, True, dtype)
+    if backend in ("xla", "naive"):
+        qr, qi = _fft_planes(pr, pi, m, True, backend, dtype)
+    else:
+        qr, qi = engine_fft_planes(pr, pi, m, True, dtype)
     qr = qr[..., :n] * (1.0 / m)
     qi = qi[..., :n] * (1.0 / m)
     return cmul(qr, qi, cr, ci)

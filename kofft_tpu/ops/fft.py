@@ -102,7 +102,7 @@ def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str,
 
     if strategy == "bluestein":
         from .bluestein import _bluestein_planes
-        return _bluestein_planes(xr, xi, n, dtype)
+        return _bluestein_planes(xr, xi, n, dtype, backend)
 
     if strategy == "four_step":
         require(is_smooth(n), InvalidValueError,
@@ -114,7 +114,7 @@ def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str,
         return _apply_tree(xr, xi, tree, dtype)
 
     from .bluestein import _bluestein_planes
-    return _bluestein_planes(xr, xi, n, dtype)
+    return _bluestein_planes(xr, xi, n, dtype, backend)
 
 
 def _norm_scale(n: int, norm: Optional[str], inverse: bool) -> Optional[float]:
