@@ -118,6 +118,15 @@ def set_shard_threshold(n: Optional[int]) -> None:
     _config.shard_threshold = int(n)
 
 
+def trace_key() -> tuple:
+    """Config values that alter traced computation (matmul precision, plan
+    shape). Every lru-cached jitted entry point includes this in its cache
+    key, so the runtime setters take effect even for shapes that already
+    have a warm executable (otherwise set_precision() would be silently
+    ignored after the first call)."""
+    return (_config.precision, _config.dft_cutoff, _config.max_factor)
+
+
 def lax_precision():
     """The jax.lax.Precision used for all real matmuls in the engine.
 

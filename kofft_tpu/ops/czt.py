@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import lax_precision
+from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import next_pow2, tables
 from ._complex import cmul, merge
@@ -57,7 +57,7 @@ def _czt_traced(x, m: int, w: complex, a: complex):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit(n: int, m: int, w: complex, a: complex):
+def _jit(n: int, m: int, w: complex, a: complex, ck: tuple = ()):
     return jax.jit(lambda x: _czt_traced(x, m, w, a))
 
 
@@ -72,7 +72,7 @@ def czt_split(x, m: int, w: complex, a: complex = 1.0 + 0j):
     a = complex(a)
     if _is_tracer(x):
         return _czt_traced(x, m, w, a)
-    return _jit(x.shape[-1], m, w, a)(x)
+    return _jit(x.shape[-1], m, w, a, trace_key())(x)
 
 
 def czt(x, m: int, w: complex, a: complex = 1.0 + 0j):
@@ -88,8 +88,12 @@ def czt(x, m: int, w: complex, a: complex = 1.0 + 0j):
 
 
 @functools.lru_cache(maxsize=None)
-def _czt_fast_fn(n: int, m: int, w: complex, a: complex, dtype: str):
-    """Cached traced/jitted Bluestein-CZT closure for a fixed signature."""
+def _czt_fast_fn(n: int, m: int, w: complex, a: complex, dtype: str,
+                 backend: str = "auto", ck: tuple = ()):
+    """Cached traced/jitted Bluestein-CZT closure for a fixed signature.
+    ``backend`` pins the inner pow2 FFTs when the caller forced one;
+    ``ck`` keys the cache on config.trace_key() so runtime setters apply
+    to warm signatures."""
     L = next_pow2(n + m - 1)
     theta = np.angle(complex(w))  # w = e^{i*theta}
 
@@ -119,9 +123,9 @@ def _czt_fast_fn(n: int, m: int, w: complex, a: complex, dtype: str):
         ar, ai = xx * pre_r, xx * pre_i
         pad = [(0, 0)] * (ar.ndim - 1) + [(0, L - n)]
         ar, ai = jnp.pad(ar, pad), jnp.pad(ai, pad)
-        fr, fi = engine_fft_planes(ar, ai, L, False, dtype)
+        fr, fi = engine_fft_planes(ar, ai, L, False, dtype, backend)
         pr, pi = cmul(fr, fi, bfr, bfi)
-        qr, qi = engine_fft_planes(pr, pi, L, True, dtype)
+        qr, qi = engine_fft_planes(pr, pi, L, True, dtype, backend)
         qr, qi = qr[..., :m] / L, qi[..., :m] / L
         return cmul(qr, qi, post_r, post_i)
 
@@ -142,7 +146,8 @@ def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
     n = x.shape[-1]
     require(n >= 1 and m >= 1, EmptyInputError, "czt input must be non-empty")
     dtype = str(x.dtype) if not host else "float32"
-    traced, jitted = _czt_fast_fn(n, m, w, a, dtype)
+    traced, jitted = _czt_fast_fn(n, m, w, a, dtype, backend or "auto",
+                                  trace_key())
     if _is_tracer(x):
         return merge(*traced(x))
     yr, yi = jitted(x)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import lax_precision
+from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
 
@@ -66,7 +66,7 @@ def _traced(kind: int, x, n: int, dtype: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_apply(kind: int, n: int, dtype: str, cutoff: int):
+def _jit_apply(kind: int, n: int, dtype: str, cutoff: int, ck: tuple = ()):
     return jax.jit(lambda x: _traced(kind, x, n, dtype))
 
 
@@ -79,7 +79,8 @@ def _apply(kind: int, x):
     dtype = "float32" if host else str(x.dtype)
     if isinstance(x, jax.core.Tracer):
         return _traced(kind, x, n, dtype)
-    return _jit_apply(kind, n, dtype, FAST_CUTOFF)(x)
+    return _jit_apply(kind, n, dtype, FAST_CUTOFF,
+                      trace_key())(x)
 
 
 def dst1(x):

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as _np
 
-from ..config import get_config
+from ..config import get_config, trace_key
 from ..errors import (EmptyInputError, InvalidValueError,
                       MismatchedLengthsError, require)
 from ..plan import (DftLeaf, FourStepNode, build_factor_tree, is_smooth,
@@ -163,12 +163,14 @@ def _jnp_fft_zone(shape, n: int) -> bool:
     return total >= (1 << 18)
 
 
-def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str):
-    """Backend-dispatched UNNORMALIZED DFT on planes (inverse = n * ifft)
-    for composite transforms (Bluestein kernel FFTs, CZT, large-n DCT/DST)
-    — so their inner pow2 transforms ride the fused Pallas kernels / the
-    zone dispatch instead of being pinned to the XLA tree."""
-    b = resolve_backend(None)
+def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str,
+                      backend: Optional[str] = None):
+    """Backend-dispatched UNNORMALIZED DFT on planes (inverse = n * ifft):
+    the single engine-selection ladder, used both by the public traced
+    entries and by composite transforms (Bluestein kernel FFTs, CZT,
+    large-n DCT/DST, per-axis N-D) — so inner pow2 transforms ride the
+    fused Pallas kernels / the measured-fastest zones too."""
+    b = resolve_backend(backend)
     if b == "pallas" and _jnp_fft_zone(xr.shape, n):
         b = "jnpfft"
     if b == "jnpfft":
@@ -185,22 +187,9 @@ def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str):
 
 def _fft_traced_planes(xr, xi, n: int, inverse: bool, norm: Optional[str],
                        backend: str):
-    """Traceable planes->planes DFT along the last axis, normalized."""
-    dtype = str(xr.dtype)
-    if backend == "pallas" and _jnp_fft_zone(xr.shape, n):
-        backend = "jnpfft"
-    if backend == "jnpfft":
-        x = merge(xr, xi)
-        y = jnp.fft.ifft(x) * n if inverse else jnp.fft.fft(x)
-        yr, yi = jnp.real(y), jnp.imag(y)
-    elif backend == "pallas":
-        from .pallas_fft import pallas_supported, pallas_fft_planes
-        if pallas_supported(n, dtype):
-            yr, yi = pallas_fft_planes(xr, xi, n, inverse)
-        else:
-            yr, yi = _fft_planes(xr, xi, n, inverse, "xla", dtype)
-    else:
-        yr, yi = _fft_planes(xr, xi, n, inverse, backend, dtype)
+    """Traceable planes->planes DFT along the last axis, normalized
+    (engine selection delegates to the single ladder above)."""
+    yr, yi = engine_fft_planes(xr, xi, n, inverse, str(xr.dtype), backend)
     s = _norm_scale(n, norm, inverse)
     if s is not None:
         yr, yi = yr * s, yi * s
@@ -214,18 +203,21 @@ def _fft_traced(x, n: int, inverse: bool, norm: Optional[str], backend: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_entry(n: int, inverse: bool, norm: Optional[str], backend: str):
-    """One jitted callable per (n, inverse, norm, backend) — JAX's shape
-    cache adds the batch dims. This is the plan/executable cache: warm calls
-    do zero Python-side work beyond a dict hit (the reference's zero-alloc
-    warm-call discipline, ``tests/bluestein.rs:60-66``)."""
+def _jitted_entry(n: int, inverse: bool, norm: Optional[str], backend: str,
+                  ck: tuple = ()):
+    """One jitted callable per (n, inverse, norm, backend, config key) —
+    JAX's shape cache adds the batch dims. This is the plan/executable
+    cache: warm calls do zero Python-side work beyond a dict hit (the
+    reference's zero-alloc warm-call discipline, tests/bluestein.rs:60-66).
+    ``ck`` carries config.trace_key() so runtime setters (precision,
+    cutoff) invalidate warm entries instead of being silently ignored."""
     return jax.jit(functools.partial(_fft_traced, n=n, inverse=inverse,
                                      norm=norm, backend=backend))
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_entry_pp(n: int, inverse: bool, norm: Optional[str],
-                     backend: str):
+                     backend: str, ck: tuple = ()):
     """Planes-in/planes-out variant: complex data crosses the host<->device
     boundary as separate float planes (required on transports without
     complex buffer support; also the Pallas calling convention)."""
@@ -302,15 +294,17 @@ def _dispatch(x, n, axis, norm, inverse, backend):
     elif not complex_io_supported():
         # plane-transfer fallback: compute on device, return host numpy
         xr, xi = _planes_of(x)
-        yr, yi = _jitted_entry_pp(m, inverse, norm, b)(xr, xi)
+        yr, yi = _jitted_entry_pp(m, inverse, norm, b,
+                                  trace_key())(xr, xi)
         y = _np.asarray(yr) + 1j * _np.asarray(yi)
     elif isinstance(x, _np.ndarray) and _np.iscomplexobj(x):
         xr = _np.ascontiguousarray(x.real)
         xi = _np.ascontiguousarray(x.imag)
-        yr, yi = _jitted_entry_pp(m, inverse, norm, b)(xr, xi)
+        yr, yi = _jitted_entry_pp(m, inverse, norm, b,
+                                  trace_key())(xr, xi)
         y = merge(yr, yi)
     else:
-        y = _jitted_entry(m, inverse, norm, b)(x)
+        y = _jitted_entry(m, inverse, norm, b, trace_key())(x)
     ax = axis if axis >= 0 else y.ndim + axis
     if ax != y.ndim - 1:
         xp = _np if isinstance(y, _np.ndarray) else jnp
@@ -358,7 +352,7 @@ def fft_split(xr, xi, inverse: bool = False, norm: Optional[str] = None,
     b = resolve_backend(backend)
     if _is_tracer(xr) or _is_tracer(xi):
         return _fft_traced_planes(xr, xi, n, inverse, norm, b)
-    return _jitted_entry_pp(n, inverse, norm, b)(xr, xi)
+    return _jitted_entry_pp(n, inverse, norm, b, trace_key())(xr, xi)
 
 
 def ifft_split(xr, xi, norm: Optional[str] = None,

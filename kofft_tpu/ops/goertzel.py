@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import lax_precision
+from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
 
@@ -48,7 +48,7 @@ def _validate(x, sample_rate: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_bins(n: int, bins: tuple, dtype: str):
+def _jit_bins(n: int, bins: tuple, dtype: str, ck: tuple = ()):
     cr, ci = _basis(n, bins, dtype)
 
     def f(x):
@@ -74,7 +74,7 @@ def goertzel_bins(x, bins):
         re = jnp.einsum("...i,ik->...k", x, cr, precision=p)
         im = jnp.einsum("...i,ik->...k", x, ci, precision=p)
         return jnp.sqrt(re * re + im * im)
-    return _jit_bins(n, bins, dtype)(x)
+    return _jit_bins(n, bins, dtype, trace_key())(x)
 
 
 def goertzel(x, sample_rate: float, target_freq: float):

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ._complex import merge
 from .fft import (_fft_planes, _is_tracer, complex_io_supported,
@@ -74,7 +75,8 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fftn(shape: tuple, axes: tuple, inverse: bool, backend: str):
+def _jit_fftn(shape: tuple, axes: tuple, inverse: bool, backend: str,
+              ck: tuple = ()):
     return jax.jit(functools.partial(_fftn_planes, axes=axes,
                                      inverse=inverse, backend=backend))
 
@@ -99,7 +101,7 @@ def fftn_split(xr, xi, axes: Optional[Sequence[int]] = None,
     b = "xla" if b in ("jnpfft",) else b
     if _is_tracer(xr) or _is_tracer(xi):
         return _fftn_planes(xr, xi, axes, inverse, b)
-    return _jit_fftn(xr.shape, axes, inverse, b)(xr, xi)
+    return _jit_fftn(xr.shape, axes, inverse, b, trace_key())(xr, xi)
 
 
 def _dispatch_nd(x, axes, inverse, backend):
@@ -123,7 +125,7 @@ def _dispatch_nd(x, axes, inverse, backend):
     if _is_tracer(xr):
         yr, yi = _fftn_planes(xr, xi, axes, inverse, b)
         return merge(yr, yi)
-    yr, yi = _jit_fftn(xr.shape, axes, inverse, b)(xr, xi)
+    yr, yi = _jit_fftn(xr.shape, axes, inverse, b, trace_key())(xr, xi)
     if host and not complex_io_supported():
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)

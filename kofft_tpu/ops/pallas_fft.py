@@ -44,19 +44,29 @@ def pallas_supported(n: int, dtype: str) -> bool:
     return multilevel_supported(n)
 
 
+# ---------------------------------------------------------------------------
+# Differentiation: pallas_call has no AD rules, but the DFT is LINEAR with a
+# symmetric matrix, so the kernels are registered as first-class linear JAX
+# primitives: jvp = the same transform on tangents; transpose = the
+# conjugate-direction transform (F^T = F: the real-linear transpose of the
+# forward planes map is the unnormalized inverse, and vice versa). This
+# supports forward mode (jvp/jacfwd), reverse mode (grad), and vmap — a
+# custom_vjp wrapper would make jvp a hard error.
+# ---------------------------------------------------------------------------
+
 import functools as _functools
 
+import jax.numpy as _jnp
+import jax.extend as _jex
+from jax.interpreters import ad as _ad
+from jax.interpreters import batching as _batching
+from jax.interpreters import mlir as _mlir
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def pallas_fft_planes(xr, xi, n: int, inverse: bool):
-    """Unnormalized DFT on SoA planes via the fused Pallas kernels.
-    Inverse uses the shared-constant conjugation identity (n * ifft).
+_dft_p = _jex.core.Primitive("kofft_pallas_dft")
+_dft_p.multiple_results = True
 
-    Differentiable: pallas_call has no reverse-mode rule, but the DFT is
-    linear with a symmetric matrix, so the VJP is the conjugate-direction
-    transform through the SAME kernels (F^T = F; the real-linear transpose
-    of the forward planes map is the unnormalized inverse, and vice
-    versa) — training through FFT layers stays on the fused path."""
+
+def _dft_eval(xr, xi, *, n, inverse):
     from .pallas_kernels import fused_multilevel_fft
     if inverse:
         yr, yi = fused_multilevel_fft(xr, -xi, n)
@@ -64,38 +74,107 @@ def pallas_fft_planes(xr, xi, n: int, inverse: bool):
     return fused_multilevel_fft(xr, xi, n)
 
 
-def _fft_planes_fwd(xr, xi, n, inverse):
-    return pallas_fft_planes(xr, xi, n, inverse), None
+_dft_p.def_impl(_dft_eval)
+_dft_p.def_abstract_eval(
+    lambda xr, xi, *, n, inverse: (xr.update(), xi.update()))
+_mlir.register_lowering(_dft_p,
+                        _mlir.lower_fun(_dft_eval, multiple_results=True))
 
 
-def _fft_planes_bwd(n, inverse, _res, ct):
-    gr, gi = ct
-    # transpose of forward = unnormalized inverse; transpose of inverse
-    # = forward (real-linear maps; see docstring derivation)
-    xr_bar, xi_bar = pallas_fft_planes(gr, gi, n, not inverse)
-    return xr_bar, xi_bar
+def _inst(t, like):
+    return _jnp.zeros(like.shape, like.dtype) if isinstance(
+        t, _ad.Zero) else t
 
 
-pallas_fft_planes.defvjp(_fft_planes_fwd, _fft_planes_bwd)
+def _dft_jvp(primals, tangents, *, n, inverse):
+    out = _dft_p.bind(*primals, n=n, inverse=inverse)
+    tr = _inst(tangents[0], primals[0])
+    ti = _inst(tangents[1], primals[1])
+    return out, _dft_p.bind(tr, ti, n=n, inverse=inverse)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def pallas_rfft_planes(x, n: int):
-    """Unnormalized full-spectrum DFT of a REAL signal (single plane in
-    HBM); callers slice to one-sided. Differentiable (linear: the VJP is
-    the real plane of the unnormalized inverse of the cotangent)."""
+_ad.primitive_jvps[_dft_p] = _dft_jvp
+
+
+def _dft_transpose(ct, xr, xi, *, n, inverse):
+    like = xr.aval if _ad.is_undefined_primal(xr) else xr
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    return _dft_p.bind(ctr, cti, n=n, inverse=not inverse)
+
+
+_ad.primitive_transposes[_dft_p] = _dft_transpose
+
+
+def _dft_batch(args, dims, *, n, inverse):
+    moved = [a if d is _batching.not_mapped else _jnp.moveaxis(a, d, 0)
+             for a, d in zip(args, dims)]
+    bdim = next(a.shape[0] for a, d in zip(moved, dims)
+                if d is not _batching.not_mapped)
+    moved = [a if d is not _batching.not_mapped
+             else _jnp.broadcast_to(a, (bdim, *a.shape))
+             for a, d in zip(moved, dims)]
+    outs = _dft_p.bind(*moved, n=n, inverse=inverse)
+    return outs, (0, 0)
+
+
+_batching.primitive_batchers[_dft_p] = _dft_batch
+
+
+def pallas_fft_planes(xr, xi, n: int, inverse: bool):
+    """Unnormalized DFT on SoA planes via the fused Pallas kernels, as a
+    linear primitive (jvp/grad/vmap all supported — see block comment).
+    Inverse uses the shared-constant conjugation identity (n * ifft)."""
+    return _dft_p.bind(xr, xi, n=n, inverse=bool(inverse))
+
+
+_rdft_p = _jex.core.Primitive("kofft_pallas_rdft")
+_rdft_p.multiple_results = True
+
+
+def _rdft_eval(x, *, n):
     from .pallas_kernels import fused_multilevel_rfft
     return fused_multilevel_rfft(x, n)
 
 
-def _rfft_planes_fwd(x, n):
-    return pallas_rfft_planes(x, n), None
+_rdft_p.def_impl(_rdft_eval)
+_rdft_p.def_abstract_eval(lambda x, *, n: (x.update(), x.update()))
+_mlir.register_lowering(_rdft_p,
+                        _mlir.lower_fun(_rdft_eval, multiple_results=True))
 
 
-def _rfft_planes_bwd(n, _res, ct):
-    gr, gi = ct
-    xr_bar, _ = pallas_fft_planes(gr, gi, n, True)
-    return (xr_bar,)
+def _rdft_jvp(primals, tangents, *, n):
+    out = _rdft_p.bind(*primals, n=n)
+    t = _inst(tangents[0], primals[0])
+    return out, _rdft_p.bind(t, n=n)
 
 
-pallas_rfft_planes.defvjp(_rfft_planes_fwd, _rfft_planes_bwd)
+_ad.primitive_jvps[_rdft_p] = _rdft_jvp
+
+
+def _rdft_transpose(ct, x, *, n):
+    like = x.aval if _ad.is_undefined_primal(x) else x
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    # transpose of (real -> planes) = real plane of the unnorm. inverse
+    xbar, _ = _dft_p.bind(ctr, cti, n=n, inverse=True)
+    return (xbar,)
+
+
+_ad.primitive_transposes[_rdft_p] = _rdft_transpose
+
+
+def _rdft_batch(args, dims, *, n):
+    (x,), (d,) = args, dims
+    x = _jnp.moveaxis(x, d, 0)
+    outs = _rdft_p.bind(x, n=n)
+    return outs, (0, 0)
+
+
+_batching.primitive_batchers[_rdft_p] = _rdft_batch
+
+
+def pallas_rfft_planes(x, n: int):
+    """Unnormalized full-spectrum DFT of a REAL signal (single plane in
+    HBM); callers slice to one-sided. Linear primitive: jvp/grad/vmap."""
+    return _rdft_p.bind(x, n=n)

@@ -85,6 +85,19 @@ def _dot(a, b, dims, prec=None):
                                precision=p)
 
 
+def _bf16x3_dot(u, v, dims):
+    """Real dot at ~f32 fidelity from 3 single-pass bf16 MXU products
+    (hi/lo split of both operands, the u_lo*v_lo term dropped) — the
+    'high' mode; Mosaic has no native HIGH lowering for dot_general."""
+    uh = u.astype(jnp.bfloat16)
+    ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
+    vh = v.astype(jnp.bfloat16)
+    vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+    p = jax.lax.Precision.DEFAULT
+    return (_dot(uh, vh, dims, p) + _dot(uh, vl, dims, p)
+            + _dot(ul, vh, dims, p))
+
+
 def _cdot(fr, fi, xr, xi, dims, mode: str):
     """Complex contraction (fr + i*fi) x (xr + i*xi) on the MXU.
 
@@ -93,18 +106,10 @@ def _cdot(fr, fi, xr, xi, dims, mode: str):
     mode='default'  Gauss/Karatsuba, 3 single-pass bf16 dots (fast, ~47dB)
     """
     if mode == "high":
-        def dd(u, v):
-            uh = u.astype(jnp.bfloat16)
-            ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
-            vh = v.astype(jnp.bfloat16)
-            vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
-            p = jax.lax.Precision.DEFAULT
-            return (_dot(uh, vh, dims, p) + _dot(uh, vl, dims, p)
-                    + _dot(ul, vh, dims, p))
-        rr = dd(fr, xr)
-        ii = dd(fi, xi)
-        ri = dd(fr, xi)
-        ir = dd(fi, xr)
+        rr = _bf16x3_dot(fr, xr, dims)
+        ii = _bf16x3_dot(fi, xi, dims)
+        ri = _bf16x3_dot(fr, xi, dims)
+        ir = _bf16x3_dot(fi, xr, dims)
         return rr - ii, ri + ir
     p = (jax.lax.Precision.HIGHEST if mode == "highest"
          else jax.lax.Precision.DEFAULT)
@@ -293,17 +298,7 @@ def _fft_axis0_traced(xr, xi, m: int, consts: dict, mode: str = "highest"):
         if xi is None:
             dims = ((0,), (0,))
             if mode == "high":
-                xh = xr.astype(jnp.bfloat16)
-                xl = (xr - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-                p = jax.lax.Precision.DEFAULT
-
-                def dd(u):
-                    uh = u.astype(jnp.bfloat16)
-                    ul = (u - uh.astype(jnp.float32)).astype(jnp.bfloat16)
-                    return (_dot(uh, xh, dims, p) + _dot(uh, xl, dims, p)
-                            + _dot(ul, xh, dims, p))
-
-                return dd(fr), dd(fi)
+                return _bf16x3_dot(fr, xr, dims), _bf16x3_dot(fi, xr, dims)
             p = (jax.lax.Precision.HIGHEST if mode == "highest"
                  else jax.lax.Precision.DEFAULT)
             return _dot(fr, xr, dims, p), _dot(fi, xr, dims, p)

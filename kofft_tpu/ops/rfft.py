@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import trace_key
 from ..errors import (EmptyInputError, InvalidValueError,
                       MismatchedLengthsError, require)
 from ._complex import merge, split
@@ -109,7 +110,7 @@ def _irfft_traced(yr, yi, n: int, norm: Optional[str], backend: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_rfft(n: int, norm: Optional[str], backend: str):
+def _jitted_rfft(n: int, norm: Optional[str], backend: str, ck: tuple = ()):
     def f(x):
         yr, yi = _rfft_traced(x, n, norm, backend)
         return merge(yr, yi)
@@ -117,13 +118,15 @@ def _jitted_rfft(n: int, norm: Optional[str], backend: str):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_rfft_pp(n: int, norm: Optional[str], backend: str):
+def _jitted_rfft_pp(n: int, norm: Optional[str], backend: str,
+                    ck: tuple = ()):
     return jax.jit(functools.partial(_rfft_traced, n=n, norm=norm,
                                      backend=backend))
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_irfft_pp(n: int, norm: Optional[str], backend: str):
+def _jitted_irfft_pp(n: int, norm: Optional[str], backend: str,
+                     ck: tuple = ()):
     return jax.jit(functools.partial(_irfft_traced, n=n, norm=norm,
                                      backend=backend))
 
@@ -172,10 +175,10 @@ def rfft(x, n: Optional[int] = None, axis: int = -1,
         yr, yi = _rfft_traced(x, m, norm, b)
         y = merge(yr, yi)
     elif not complex_io_supported():
-        yr, yi = _jitted_rfft_pp(m, norm, b)(x)
+        yr, yi = _jitted_rfft_pp(m, norm, b, trace_key())(x)
         y = np.asarray(yr) + 1j * np.asarray(yi)
     else:
-        y = _jitted_rfft(m, norm, b)(x)
+        y = _jitted_rfft(m, norm, b, trace_key())(x)
     ax = axis if axis >= 0 else y.ndim + axis
     if ax != y.ndim - 1:
         xp = np if isinstance(y, np.ndarray) else jnp
@@ -214,7 +217,7 @@ def irfft(y, n: Optional[int] = None, axis: int = -1,
     if _is_tracer(yr):
         x = _irfft_traced(yr, yi, m, norm, b)
     else:
-        x = _jitted_irfft_pp(m, norm, b)(yr, yi)
+        x = _jitted_irfft_pp(m, norm, b, trace_key())(yr, yi)
         if not complex_io_supported():
             x = np.asarray(x)
     if ax != x.ndim - 1:
@@ -232,7 +235,7 @@ def rfft_split(x, norm: Optional[str] = None, backend: Optional[str] = None):
     b = resolve_backend(backend)
     if _is_tracer(x):
         return _rfft_traced(x, n, norm, b)
-    return _jitted_rfft_pp(n, norm, b)(x)
+    return _jitted_rfft_pp(n, norm, b, trace_key())(x)
 
 
 def irfft_split(yr, yi, n: Optional[int] = None, norm: Optional[str] = None,
@@ -247,4 +250,4 @@ def irfft_split(yr, yi, n: Optional[int] = None, norm: Optional[str] = None,
     b = resolve_backend(backend)
     if _is_tracer(yr) or _is_tracer(yi):
         return _irfft_traced(yr, yi, m, norm, b)
-    return _jitted_irfft_pp(m, norm, b)(yr, yi)
+    return _jitted_irfft_pp(m, norm, b, trace_key())(yr, yi)

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import trace_key
 from ..errors import (EmptyInputError, InvalidHopSizeError,
                       MismatchedLengthsError, require)
 from ..plan import tables
@@ -164,7 +165,7 @@ def _istft_planes(fr, fi, window_np: np.ndarray, hop: int, length: int,
 
 @functools.lru_cache(maxsize=None)
 def _jit_stft(win: int, hop: int, onesided: bool, backend: str,
-              window_key: tuple):
+              window_key: tuple, ck: tuple = ()):
     window_np = _window_cache[window_key]
     return jax.jit(lambda x: _stft_planes(x, window_np, hop, onesided,
                                           backend))
@@ -172,7 +173,7 @@ def _jit_stft(win: int, hop: int, onesided: bool, backend: str,
 
 @functools.lru_cache(maxsize=None)
 def _jit_istft(win: int, hop: int, length: int, backend: str,
-               window_key: tuple):
+               window_key: tuple, ck: tuple = ()):
     window_np = _window_cache[window_key]
     return jax.jit(lambda fr, fi: _istft_planes(fr, fi, window_np, hop,
                                                 length, backend))
@@ -258,7 +259,8 @@ def stft_split(signal, window, hop: int, onesided: bool = False,
     b = _resolve_planes_backend(backend)
     if _is_tracer(x):
         return _stft_planes(x, w, hop, onesided, b)
-    return _jit_stft(w.shape[0], hop, onesided, b, _window_key(w))(x)
+    return _jit_stft(w.shape[0], hop, onesided, b, _window_key(w),
+                     trace_key())(x)
 
 
 def istft_split(fr, fi, window, hop: int, length: Optional[int] = None,
@@ -275,7 +277,8 @@ def istft_split(fr, fi, window, hop: int, length: Optional[int] = None,
     b = _resolve_planes_backend(backend)
     if _is_tracer(fr):
         return _istft_planes(fr, fi, w, hop, length, b)
-    return _jit_istft(w.shape[0], hop, length, b, _window_key(w))(fr, fi)
+    return _jit_istft(w.shape[0], hop, length, b, _window_key(w),
+                      trace_key())(fr, fi)
 
 
 def frame_split(signal, window, start: int, backend: Optional[str] = None):
