@@ -72,7 +72,7 @@ def _differential(make_runner: Callable, operand, iters: int,
     # which the tunneled attachment's watchdog kills (observed as
     # worker-process crashes).
     t_ub = t_n1 / n1
-    delta = int(max(iters, min(200_000, target_time / max(t_ub, 1e-9))))
+    delta = int(max(1, iters, min(200_000, target_time / max(t_ub, 1e-9))))
     slope, t1 = measure(delta)
     for _ in range(4):
         fixed = max(t1 - n1 * slope, 0.0)
@@ -81,6 +81,15 @@ def _differential(make_runner: Callable, operand, iters: int,
             break
         delta = int(min(200_000, delta * 8))
         slope, t1 = measure(delta)
+    if slope <= 2e-9:
+        # jitter swamped the op term even at the delta cap: report the
+        # pilot's per-op upper bound (includes the launch cost) rather
+        # than a fictitious ~1 ns/op, and say so
+        import sys
+        print("timeit_chained: slope below noise floor; reporting the "
+              f"launch-inclusive upper bound {t_ub * 1e6:.2f} us/op",
+              file=sys.stderr)
+        return t_ub
     return slope
 
 

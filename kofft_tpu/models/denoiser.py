@@ -87,6 +87,11 @@ def loss_fn(model: SpectralDenoiser, params: SpectralDenoiserParams,
     by up to 1/w(1)^2 (~1.7e5 for a 128-point Hann). Every spectral-
     masking system trains on the interior (or pads); scoring the edges
     would make the gradient edge-dominated and stall learning."""
+    from ..errors import InvalidValueError, require
+    require(noisy.shape[-1] > 2 * model.win_len, InvalidValueError,
+            f"denoiser loss needs signals longer than 2*win_len = "
+            f"{2 * model.win_len} (the scored OLA interior would be "
+            f"empty, yielding a silent NaN loss)")
     out = model.apply(params, noisy)
     w = model.win_len
     return jnp.mean((out[..., w:-w] - clean[..., w:-w]) ** 2)

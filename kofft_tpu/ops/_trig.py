@@ -48,13 +48,9 @@ def _post(kind: str, n: int, dtype: str):
 
 
 def _chirp(n: int, dtype: str):
-    """c_i = e^{-i pi i/(2n)} as (re, im)."""
-    def build():
-        i = np.arange(n, dtype=np.float64)
-        ang = -np.pi * i / (2 * n)
-        return (np.cos(ang).astype(dtype), np.sin(ang).astype(dtype))
-
-    return tables.custom(("trig_chirp", n, dtype), build)
+    """c_i = e^{-i pi i/(2n)} as (re, im) — the same table as the 'half'
+    post-twiddle, aliased so each (n, dtype) materializes it once."""
+    return _post("half", n, dtype)
 
 
 def _fft2n_planes(xr, xi, m: int):

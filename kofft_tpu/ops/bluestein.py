@@ -41,10 +41,10 @@ def _bfft_tables(n: int, m: int, dtype: str):
 def _bluestein_planes(xr, xi, n: int, dtype: str, backend: str = "auto"):
     """Unnormalized forward DFT of non-smooth length n on SoA planes.
 
-    ``backend='auto'`` lets the inner pow2 transforms ride the dispatched
-    engine (Pallas kernels / zones); an explicit 'xla'/'naive' pins them,
-    honoring a caller's forced-backend request end to end."""
-    from .fft import _fft_planes, engine_fft_planes  # no recursion: m pow2
+    The caller's backend threads through to the inner pow2 transforms:
+    'auto' rides the dispatched engine (Pallas kernels / zones), an
+    explicit name is honored exactly (engine_fft_planes contract)."""
+    from .fft import engine_fft_planes  # no recursion: m is pow2-smooth
 
     m = next_pow2(2 * n - 1)
     cr, ci = tables.chirp(n, dtype)
@@ -54,17 +54,11 @@ def _bluestein_planes(xr, xi, n: int, dtype: str, backend: str = "auto"):
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
 
-    if backend in ("xla", "naive"):
-        fr, fi = _fft_planes(ar, ai, m, False, backend, dtype)
-    else:
-        fr, fi = engine_fft_planes(ar, ai, m, False, dtype)
+    fr, fi = engine_fft_planes(ar, ai, m, False, dtype, backend)
     br, bi = _bfft_tables(n, m, dtype)
     pr, pi = cmul(fr, fi, br, bi)
     # unnormalized inverse (= m * ifft), so scale by 1/m
-    if backend in ("xla", "naive"):
-        qr, qi = _fft_planes(pr, pi, m, True, backend, dtype)
-    else:
-        qr, qi = engine_fft_planes(pr, pi, m, True, dtype)
+    qr, qi = engine_fft_planes(pr, pi, m, True, dtype, backend)
     qr = qr[..., :n] * (1.0 / m)
     qi = qi[..., :n] * (1.0 / m)
     return cmul(qr, qi, cr, ci)

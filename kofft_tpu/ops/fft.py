@@ -133,16 +133,18 @@ def _norm_scale(n: int, norm: Optional[str], inverse: bool) -> Optional[float]:
 # --------------------------------------------------------------------------
 
 def resolve_backend(backend: Optional[str] = None) -> str:
-    """Resolve 'auto' to a concrete backend for the current platform.
+    """Resolve the request to a backend name. 'auto' is kept first-class
+    (the engine ladder picks the measured-fastest engine per shape class
+    for it); an explicit name is honored exactly — requesting 'pallas'
+    must never be silently rerouted to another engine by the zone
+    heuristics. Analog of the reference's runtime CPU-feature factory
+    ``new_fft_impl`` (``src/fft.rs:1954-1985``)."""
+    return backend or get_config().backend
 
-    Analog of the reference's runtime CPU-feature factory ``new_fft_impl``
-    (``src/fft.rs:1954-1985``)."""
+
+def _platform_default() -> str:
     cfg = get_config()
-    b = backend or cfg.backend
-    if b != "auto":
-        return b
-    platform = jax.default_backend()
-    if platform == "tpu" and cfg.enable_pallas:
+    if jax.default_backend() == "tpu" and cfg.enable_pallas:
         return "pallas"
     return "xla"
 
@@ -171,8 +173,11 @@ def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str,
     large-n DCT/DST, per-axis N-D) — so inner pow2 transforms ride the
     fused Pallas kernels / the measured-fastest zones too."""
     b = resolve_backend(backend)
-    if b == "pallas" and _jnp_fft_zone(xr.shape, n):
-        b = "jnpfft"
+    if b == "auto":
+        b = _platform_default()
+        # zone reroutes apply only to 'auto' — an explicit request is law
+        if b == "pallas" and _jnp_fft_zone(xr.shape, n):
+            b = "jnpfft"
     if b == "jnpfft":
         x = merge(xr, xi)
         y = jnp.fft.ifft(x) * n if inverse else jnp.fft.fft(x)

@@ -22,8 +22,8 @@ import numpy as np
 from ..config import trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ._complex import merge
-from .fft import (_fft_planes, _is_tracer, complex_io_supported,
-                  engine_fft_planes, resolve_backend)
+from .fft import (_fft_planes, _is_tracer, _platform_default,
+                  complex_io_supported, engine_fft_planes, resolve_backend)
 
 __all__ = ["fft2", "ifft2", "fft3", "ifft3", "fftn", "ifftn", "fftn_split"]
 
@@ -51,7 +51,8 @@ def _nd_jnp_zone(shape: tuple, axes: tuple) -> bool:
 def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     dtype = str(xr.dtype)
     nd = xr.ndim
-    if backend == "pallas" and _nd_jnp_zone(xr.shape, axes):
+    if (backend == "auto" and _platform_default() == "pallas"
+            and _nd_jnp_zone(xr.shape, axes)):
         x = merge(xr, xi)
         y = (jnp.fft.ifftn(x, axes=axes) if inverse
              else jnp.fft.fftn(x, axes=axes))
@@ -62,8 +63,8 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
             xr = jnp.moveaxis(xr, a, -1)
             xi = jnp.moveaxis(xi, a, -1)
         n = xr.shape[-1]
-        if backend == "pallas":
-            xr, xi = engine_fft_planes(xr, xi, n, inverse, dtype)
+        if backend in ("pallas", "auto"):
+            xr, xi = engine_fft_planes(xr, xi, n, inverse, dtype, backend)
         else:
             xr, xi = _fft_planes(xr, xi, n, inverse, backend, dtype)
         if inverse:

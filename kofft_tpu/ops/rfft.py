@@ -50,17 +50,21 @@ def _rfft_planes(x, n: int, backend: str):
     what cost. On the Pallas backend, stage 1 reads the single real plane
     (no zero-imag HBM traffic, 2 leaf dots instead of 3)."""
     dtype = str(x.dtype)
-    if backend == "pallas":
-        from .fft import _jnp_fft_zone
+    if backend in ("pallas", "auto"):
+        from .fft import _jnp_fft_zone, _platform_default
         from .pallas_fft import pallas_supported, pallas_rfft_planes
-        if _jnp_fft_zone(x.shape, n):
-            # measured-fastest engine for batched mid-size transforms
-            y = jnp.fft.rfft(x, n)
-            return jnp.real(y), jnp.imag(y)
-        if pallas_supported(n, dtype):
-            yr, yi = pallas_rfft_planes(x, n)
-            return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
-        backend = "xla"
+        auto = backend == "auto"
+        backend = _platform_default() if auto else backend
+        if backend == "pallas":
+            if auto and _jnp_fft_zone(x.shape, n):
+                # measured-fastest engine for batched mid-size transforms
+                # (zone reroutes never override an explicit request)
+                y = jnp.fft.rfft(x, n)
+                return jnp.real(y), jnp.imag(y)
+            if pallas_supported(n, dtype):
+                yr, yi = pallas_rfft_planes(x, n)
+                return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
+            backend = "xla"
     yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
     return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
 
@@ -77,12 +81,16 @@ def _irfft_planes(yr, yi, n: int, backend: str):
     tail_i = -jnp.flip(yi[..., 1: (n + 1) // 2], axis=-1)
     fr = jnp.concatenate([yr[..., : n // 2 + 1], tail_r], axis=-1)
     fi = jnp.concatenate([yi[..., : n // 2 + 1], tail_i], axis=-1)
-    if backend == "pallas":
+    if backend in ("pallas", "auto"):
+        from .fft import _platform_default
         from .pallas_fft import pallas_supported, pallas_fft_planes
-        if pallas_supported(n, dtype):
-            xr, _ = pallas_fft_planes(fr, fi, n, inverse=True)
-            return xr
-        backend = "xla"
+        if backend == "auto":
+            backend = _platform_default()
+        if backend == "pallas":
+            if pallas_supported(n, dtype):
+                xr, _ = pallas_fft_planes(fr, fi, n, inverse=True)
+                return xr
+            backend = "xla"
     xr, _ = _fft_planes(fr, fi, n, True, backend, dtype)
     return xr
 

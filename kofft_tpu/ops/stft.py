@@ -36,7 +36,8 @@ from ..errors import (EmptyInputError, InvalidHopSizeError,
                       MismatchedLengthsError, require)
 from ..plan import tables
 from ._complex import merge, split
-from .fft import _fft_planes, _is_tracer, complex_io_supported, resolve_backend
+from .fft import (_fft_planes, _is_tracer, complex_io_supported,
+                  engine_fft_planes, resolve_backend)
 from .rfft import _rfft_planes
 
 __all__ = ["stft", "istft", "stft_split", "istft_split", "frame_split",
@@ -113,8 +114,8 @@ def _stft_planes(x, window_np: np.ndarray, hop: int, onesided: bool,
         frames = x[..., idx] * window_np  # (..., F, win)
     if onesided:
         return _rfft_planes(frames, win, backend)
-    return _fft_planes(frames, jnp.zeros_like(frames), win, False, backend,
-                       str(frames.dtype))
+    return engine_fft_planes(frames, jnp.zeros_like(frames), win, False,
+                             str(frames.dtype), backend)
 
 
 def _ola_add(y, win: int, hop: int, nf: int):
@@ -146,7 +147,7 @@ def _istft_planes(fr, fi, window_np: np.ndarray, hop: int, length: int,
     nf = fr.shape[-2]
     dtype = str(fr.dtype)
     # engine inverse is unnormalized (win * ifft)
-    tr, _ = _fft_planes(fr, fi, win, True, backend, dtype)
+    tr, _ = engine_fft_planes(fr, fi, win, True, dtype, backend)
     y = (tr / win) * window_np                       # (..., F, win)
     out = _ola_add(y, win, hop, nf)
     if out.shape[-1] < length:
@@ -212,7 +213,8 @@ def stft(signal, window, hop: int, onesided: bool = False,
     b = _resolve_planes_backend(backend)
     if _is_tracer(x):
         return merge(*_stft_planes(x, w, hop, onesided, b))
-    yr, yi = _jit_stft(w.shape[0], hop, onesided, b, _window_key(w))(x)
+    yr, yi = _jit_stft(w.shape[0], hop, onesided, b, _window_key(w),
+                       trace_key())(x)
     if not complex_io_supported():
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)
@@ -244,7 +246,8 @@ def istft(frames, window, hop: int, length: Optional[int] = None,
         fi = np.ascontiguousarray(f.imag).astype(np.float32)
     else:
         fr, fi = split(f)
-    out = _jit_istft(win, hop, length, b, _window_key(w))(fr, fi)
+    out = _jit_istft(win, hop, length, b, _window_key(w),
+                     trace_key())(fr, fi)
     if host and not complex_io_supported():
         return np.asarray(out)
     return out

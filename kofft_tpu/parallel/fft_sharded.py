@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..config import trace_key
 from ..errors import InvalidValueError, require
 from ..ops.fft import _fft_planes
 from ..plan import tables
@@ -73,7 +74,7 @@ def _twiddle_consts(n: int, n1: int, n2: int, d: int, dtype: str):
 
 @functools.lru_cache(maxsize=None)
 def _build(mesh_key, n: int, n1: int, n2: int, backend: str,
-           restore_layout: bool):
+           restore_layout: bool, ck: tuple = ()):
     mesh, axis_name = _MESHES[mesh_key]
     d = mesh.shape[axis_name]
     m1 = n1 // d
@@ -156,7 +157,7 @@ def fft_sharded(xr, xi, mesh: Optional[Mesh] = None, axis_name: str = "d",
                              n1=split[0])
         return yr / n, -yi / n
     fn, sharding = _build(_mesh_key(mesh, axis_name), n, split[0], split[1],
-                          backend, restore_layout)
+                          backend, restore_layout, trace_key())
     xr = jax.device_put(xr, sharding)
     xi = jax.device_put(xi, sharding)
     return fn(xr, xi)

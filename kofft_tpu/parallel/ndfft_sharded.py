@@ -62,7 +62,7 @@ def _local_stage(xr, xi, ndim: int, inverse: bool, backend: str,
 
 @functools.lru_cache(maxsize=None)
 def _build(mesh_key, ndim: int, inverse: bool, backend: str,
-           restore_layout: bool):
+           restore_layout: bool, ck: tuple = ()):
     mesh, axis_name = _MESHES[mesh_key]
     in_spec = P(axis_name, *([None] * (ndim - 1)))
     out_spec = (in_spec if restore_layout
@@ -112,8 +112,9 @@ def fftn_sharded(xr, xi, mesh: Optional[Mesh] = None,
             InvalidValueError,
             f"axis 0 ({xr.shape[0]}) and axis -1 ({xr.shape[-1]}) must be "
             f"divisible by the mesh size {d}")
+    from ..config import trace_key
     fn, in_sharding = _build(_mesh_key(mesh, axis_name), xr.ndim, inverse,
-                             backend, restore_layout)
+                             backend, restore_layout, trace_key())
     xr = jax.device_put(xr, in_sharding)
     xi = jax.device_put(xi, in_sharding)
     # inverse normalization (1/n per axis) happens inside _fftn_planes

@@ -36,7 +36,7 @@ __all__ = ["stft_sharded", "istft_sharded"]
 
 @functools.lru_cache(maxsize=None)
 def _build_stft(mesh_key, n_local: int, win: int, hop: int,
-                window_key: tuple, backend: str):
+                window_key: tuple, backend: str, ck: tuple = ()):
     mesh, axis_name = _MESHES[mesh_key]
     d = mesh.shape[axis_name]
     from ..ops.stft import _window_cache
@@ -87,15 +87,17 @@ def stft_sharded(signal, window, hop: int, mesh: Optional[Mesh] = None,
     n = x.shape[0]
     require(n % (d * hop) == 0, InvalidValueError,
             f"signal length {n} must be divisible by mesh*hop = {d * hop}")
+    from ..config import trace_key
     fn, sharding = _build_stft(_mesh_key(mesh, axis_name), n // d,
-                               w.shape[0], hop, _window_key(w), backend)
+                               w.shape[0], hop, _window_key(w), backend,
+                               trace_key())
     x = jax.device_put(x, sharding)
     return fn(x)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_istft(mesh_key, nf_local: int, win: int, hop: int,
-                 window_key: tuple, backend: str):
+                 window_key: tuple, backend: str, ck: tuple = ()):
     mesh, axis_name = _MESHES[mesh_key]
     d = mesh.shape[axis_name]
     from ..ops.stft import _window_cache
@@ -162,8 +164,9 @@ def istft_sharded(fr, fi, window, hop: int, mesh: Optional[Mesh] = None,
     nf = fr.shape[0]
     require(nf % d == 0, InvalidValueError,
             f"frame count {nf} must be divisible by mesh size {d}")
+    from ..config import trace_key
     fn = _build_istft(_mesh_key(mesh, axis_name), nf // d, w.shape[0], hop,
-                      _window_key(w), backend)
+                      _window_key(w), backend, trace_key())
     sharding = NamedSharding(mesh, P(axis_name, None))
     fr = jax.device_put(fr, sharding)
     fi = jax.device_put(fi, sharding)
