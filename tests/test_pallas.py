@@ -185,3 +185,20 @@ def test_fft_transpose_identity(rng):
                        atol=1e-2)
     assert np.allclose(np.asarray(got_i[1]), np.asarray(want_i[1]),
                        atol=1e-2)
+
+
+def test_backend_request_semantics():
+    """'auto' is first-class (zones may reroute it); an explicit backend
+    is honored exactly and never zone-rerouted."""
+    from kofft_tpu.config import set_backend
+    from kofft_tpu.ops.fft import resolve_backend
+    assert resolve_backend(None) == "auto"
+    assert resolve_backend("pallas") == "pallas"
+    assert resolve_backend("xla") == "xla"
+    set_backend("xla")
+    try:
+        assert resolve_backend(None) == "xla"       # config override
+        assert resolve_backend("pallas") == "pallas"  # explicit still wins
+    finally:
+        set_backend(None)
+    assert resolve_backend(None) == "auto"
