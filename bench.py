@@ -229,4 +229,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # The tunneled TPU worker occasionally crashes mid-run
+        # (UNAVAILABLE: worker process crashed); the backend in this
+        # process is then dead, so retry exactly once in a FRESH process.
+        import os
+        if (type(e).__name__ == "JaxRuntimeError"
+                and "UNAVAILABLE" in str(e)
+                and os.environ.get("KOFFT_BENCH_RETRY") != "1"):
+            log("TPU worker crashed; retrying bench once in a fresh "
+                "process...")
+            env = dict(os.environ, KOFFT_BENCH_RETRY="1")
+            os.execve(sys.executable,
+                      [sys.executable] + sys.argv, env)
+        raise
