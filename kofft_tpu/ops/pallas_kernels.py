@@ -403,6 +403,14 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                              (lambda nd: lambda i, j: (0,) * nd)(a.ndim),
                              memory_space=pltpu.VMEM) for a in arrs]
 
+    kw = {}
+    if not interpret and n1 >= 2048:
+        # the traced line-FFT's temporaries exceed Mosaic's conservative
+        # 16 MB scoped-vmem default once lines reach 2048 (2^22+ sizes);
+        # the physical budget is higher
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+
     def stage1(b, ar, ai):
         grid = (b // bt, n2 // t)
         data = pl.BlockSpec((bt, n1, t), lambda i, j: (i, 0, j),
@@ -418,7 +426,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                 flops=16 * b * n1 * n2 * max(1, n1.bit_length() // 5),
                 bytes_accessed=4 * 2 * b * n1 * n2 * 2 + 4 * 2 * n1 * n2,
                 transcendentals=0),
-            interpret=interpret,
+            interpret=interpret, **kw,
         )(ar, ai, jnp.asarray(twr), jnp.asarray(twi),
           *[jnp.asarray(c) for c in consts1])
 
@@ -437,7 +445,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                 flops=12 * b * n1 * n2 * max(1, n1.bit_length() // 5),
                 bytes_accessed=4 * 3 * b * n1 * n2 + 4 * 2 * n1 * n2,
                 transcendentals=0),
-            interpret=interpret,
+            interpret=interpret, **kw,
         )(ar, jnp.asarray(twr), jnp.asarray(twi),
           *[jnp.asarray(c) for c in consts1])
 
@@ -456,7 +464,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                 flops=16 * b * n1 * n2 * max(1, n2.bit_length() // 5),
                 bytes_accessed=4 * 2 * b * n1 * n2 * 2,
                 transcendentals=0),
-            interpret=interpret,
+            interpret=interpret, **kw,
         )(cr, ci, *[jnp.asarray(c) for c in consts2])
 
     return n1, n2, stage1, stage1_real, stage2
