@@ -156,8 +156,17 @@ def _jnp_fft_zone(shape, n: int) -> bool:
     where the two-stage Pallas kernel necessarily pays two (7-10 Gpts/s);
     everywhere else the Pallas/matmul engines win (2.0x at 2^20, 3-7x on
     single mid-size transforms). The analog of the reference picking the
-    fastest SIMD backend per CPU at runtime (``src/fft.rs:1954-1985``)."""
-    if n & (n - 1) or not ((1 << 12) <= n <= (1 << 16)):
+    fastest SIMD backend per CPU at runtime (``src/fft.rs:1954-1985``).
+
+    Pow2 n beyond the Pallas ceiling (2^24) also routes here: the matmul
+    tree's baked twiddle literals grow as n (a 2^25 plan embeds 256 MB of
+    constants, which transports reject), while the built-in FFT carries
+    no literals."""
+    if n & (n - 1):
+        return False
+    if n > (1 << 24):
+        return True
+    if not ((1 << 12) <= n <= (1 << 16)):
         return False
     total = n
     for s in shape[:-1]:
