@@ -38,29 +38,56 @@ def main() -> None:
         print("NOTE: virtual CPU devices share one host — weak-scaling "
               "efficiency here is host-bound and only validates the "
               "collective program; real efficiency needs a pod slice.")
+    from kofft_tpu.parallel import fft_sharded, stft_sharded
+    from kofft_tpu.ops import window as W
+
     rng = np.random.default_rng(0)
-    results = []
+
+    def sweep(name, run_for_d):
+        print(f"--- {name} (weak scaling, constant per-chip volume) ---")
+        results = []
+        for d in [x for x in (1, 2, 4, 8, 16) if x <= max_dev]:
+            fn, pts = run_for_d(d)
+            jax.block_until_ready(fn())          # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(5):
+                jax.block_until_ready(fn())
+            dt = (time.perf_counter() - t0) / 5
+            results.append((d, dt, pts / dt))
+            base = results[0][2]
+            eff = (pts / dt) / (base * d)
+            print(f"D={d:2d}  {dt * 1e3:8.2f} ms  {pts / dt / 1e6:8.1f} "
+                  f"Mpts/s  eff {eff:5.1%}")
+
     base_side = 1 << (log2_per_chip // 3)
-    for d in [x for x in (1, 2, 4, 8, 16) if x <= max_dev]:
-        # weak scaling: X grows with D, per-chip volume constant
+
+    def ndfft_case(d):
         shape = (base_side * d, base_side, base_side)
         xr = rng.standard_normal(shape).astype(np.float32)
         xi = rng.standard_normal(shape).astype(np.float32)
         mesh = make_mesh(d)
-        # warm
-        yr, yi = fftn_sharded(xr, xi, mesh=mesh)
-        jax.block_until_ready((yr, yi))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            yr, yi = fftn_sharded(xr, xi, mesh=mesh)
-            jax.block_until_ready((yr, yi))
-        dt = (time.perf_counter() - t0) / 5
-        pts = np.prod(shape)
-        results.append((d, dt, pts / dt))
-        base = results[0][2]
-        eff = (pts / dt) / (base * d)
-        print(f"D={d:2d}  vol={shape}  {dt * 1e3:8.2f} ms  "
-              f"{pts / dt / 1e6:8.1f} Mpts/s  weak-scaling eff {eff:5.1%}")
+        return (lambda: fftn_sharded(xr, xi, mesh=mesh),
+                int(np.prod(shape)))
+
+    def fft1d_case(d):
+        n = (1 << log2_per_chip) * d
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        mesh = make_mesh(d)
+        return (lambda: fft_sharded(xr, xi, mesh=mesh), n)
+
+    def stft_case(d):
+        hop, win = 256, 1024
+        n = (1 << log2_per_chip) * d
+        n -= n % (d * hop)
+        sig = rng.standard_normal(n).astype(np.float32)
+        w = W.hann(win)
+        mesh = make_mesh(d)
+        return (lambda: stft_sharded(sig, w, hop, mesh=mesh), n)
+
+    sweep("3-D NDFFT (all_to_all pencil)", ndfft_case)
+    sweep("1-D FFT (distributed four-step)", fft1d_case)
+    sweep("STFT (ppermute halo)", stft_case)
 
 
 if __name__ == "__main__":
