@@ -187,3 +187,17 @@ def test_bad_strategy_raises(rng):
         # four_step on a rough size (prime > max_factor) is rejected eagerly
         _fft_planes(np.zeros(101, np.float32), np.zeros(101, np.float32),
                     101, False, "xla", "float32", "four_step")
+
+
+def test_float64_inputs_accepted(rng):
+    """f64/c128 inputs cast at the boundary (README dtype policy); values
+    match the f32 path."""
+    import kofft_tpu as kt
+    x64 = rng.standard_normal(256).astype(np.float64)
+    y = kt.asnumpy(kt.rfft(x64))
+    want = kt.asnumpy(kt.rfft(x64.astype(np.float32)))
+    assert np.allclose(y, want)
+    c128 = (rng.standard_normal(256) + 1j * rng.standard_normal(256))
+    z = kt.asnumpy(kt.fft(c128))
+    wantc = kt.asnumpy(kt.fft(c128.astype(np.complex64)))
+    assert np.allclose(z, wantc)
