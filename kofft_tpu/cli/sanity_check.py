@@ -47,10 +47,8 @@ def render(samples: np.ndarray, win_len: int, colormap: str,
     mags, max_mag = stft_magnitudes(samples, win_len, hop)
     height = win_len // 2
     cmap = Colormap.parse(colormap)
-    cols = []
     if scale_mode == "log":
-        mags = np.stack([log_scale_bins(col[:height], height - 1)
-                         for col in mags])
+        mags = log_scale_bins(mags[:, :height], height - 1)
     img = color_from_magnitude_u16(mags, max_mag, -dynamic_range, cmap)
     # (frames, bins, 3) -> (bins, frames, 3), flip so low freq at bottom
     return img.transpose(1, 0, 2)[::-1]

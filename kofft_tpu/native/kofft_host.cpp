@@ -111,7 +111,8 @@ int64_t kofft_wav_decode_i16(const uint8_t* data, int64_t len, float** out,
         const uint8_t* hdr = data + pos;
         uint32_t sz = rd_u32(hdr + 4);
         const uint8_t* body = hdr + 8;
-        if (!std::memcmp(hdr, "fmt ", 4) && sz >= 16) {
+        if (!std::memcmp(hdr, "fmt ", 4) && sz >= 16
+            && pos + 8 + 16 <= len) {   // body must hold the 16 read bytes
             ch = rd_u16(body + 2);
             sr = (int32_t)rd_u32(body + 4);
             bits = rd_u16(body + 14);

@@ -75,7 +75,7 @@ def _read_via_ffmpeg(path) -> tuple[np.ndarray, int]:
         raise InvalidValueError(
             f"cannot decode {path}: only .wav is supported without ffmpeg "
             f"in this environment")
-    sr = 44100
+    sr = None
     if ffprobe:
         try:
             out = subprocess.run(
@@ -84,11 +84,16 @@ def _read_via_ffmpeg(path) -> tuple[np.ndarray, int]:
                  str(path)], capture_output=True, text=True, check=True)
             sr = int(out.stdout.strip())
         except Exception:
-            pass
-    # mono mean downmix (reference downmix, sanity-check/src/lib.rs:76-84)
-    out = subprocess.run(
-        [ffmpeg, "-v", "error", "-i", str(path), "-f", "f32le", "-ac", "1",
-         "-"], capture_output=True, check=True)
+            sr = None
+    # mono mean downmix (reference downmix, sanity-check/src/lib.rs:76-84).
+    # Without a trustworthy probed rate, force-resample to 44100 so the
+    # returned data actually matches the rate we report (a silently wrong
+    # rate skews every downstream time/frequency mapping).
+    cmd = [ffmpeg, "-v", "error", "-i", str(path), "-f", "f32le", "-ac", "1"]
+    if sr is None:
+        sr = 44100
+        cmd += ["-ar", str(sr)]
+    out = subprocess.run(cmd + ["-"], capture_output=True, check=True)
     return np.frombuffer(out.stdout, dtype="<f4").copy(), sr
 
 

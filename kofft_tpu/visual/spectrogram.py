@@ -181,18 +181,42 @@ def map_bin_to_pixel(bin: int, max_bin: int) -> int:
     return int(np.floor(max_bin * pos / log_max))
 
 
+_PIXEL_MAPS: dict = {}
+
+
+def _pixel_map(n_bins: int, max_bin: int) -> np.ndarray:
+    """Vectorized map_bin_to_pixel for b in [0, n_bins) (cached: depends
+    only on the geometry, not the data)."""
+    key = (n_bins, max_bin)
+    hit = _PIXEL_MAPS.get(key)
+    if hit is None:
+        if max_bin == 0:
+            hit = np.zeros(n_bins, dtype=np.int64)
+        else:
+            b = np.arange(n_bins, dtype=np.float64)
+            hit = np.floor(max_bin * np.log(b + 1.0)
+                           / np.log(max_bin + 1.0)).astype(np.int64)
+        _PIXEL_MAPS[key] = hit
+    return hit
+
+
 def log_scale_bins(values, max_bin: int) -> np.ndarray:
     """Log-average frequency bins into max_bin+1 pixels (reference
-    ``log_scale_bins``, ``spectrogram.rs:221-241``)."""
+    ``log_scale_bins``, ``spectrogram.rs:221-241``). Vectorized:
+    ``np.add.at`` accumulates in ascending-bin order, bit-matching the
+    original per-element loop (the loop form cost ~10M interpreted
+    iterations on a 4-minute render)."""
     values = np.asarray(values, dtype=np.float32)
-    accum = np.zeros(max_bin + 1, dtype=np.float32)
-    counts = np.zeros(max_bin + 1, dtype=np.int64)
-    for b, v in enumerate(values):
-        y = map_bin_to_pixel(b, max_bin)
-        accum[y] += v
-        counts[y] += 1
+    ys = _pixel_map(values.shape[-1], max_bin)
+    accum = np.zeros(values.shape[:-1] + (max_bin + 1,), dtype=np.float32)
+    if values.ndim == 1:
+        np.add.at(accum, ys, values)
+    else:
+        rows = np.arange(values.shape[0])[:, None]
+        np.add.at(accum, (rows, ys[None, :]), values)
+    counts = np.bincount(ys, minlength=max_bin + 1)
     nz = counts > 0
-    accum[nz] /= counts[nz]
+    accum[..., nz] /= counts[nz]
     return accum
 
 
@@ -204,8 +228,7 @@ def render_rgb8(mags: np.ndarray, max_mag: float, floor_db: float,
     low frequencies at the bottom row."""
     mags = np.asarray(mags, dtype=np.float32)
     if log_scale:
-        mags = np.stack([log_scale_bins(row, mags.shape[1] - 1)
-                         for row in mags])
+        mags = log_scale_bins(mags, mags.shape[1] - 1)
     img = color_from_magnitude_u8(mags, max_mag, floor_db, cmap)
     return img.transpose(1, 0, 2)[::-1]
 

@@ -65,14 +65,20 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(HTTPStatus.NO_CONTENT, b"", "text/plain")
 
     def do_GET(self):
-        if self.path == "/health":
+        from urllib.parse import unquote, urlsplit
+        path = unquote(urlsplit(self.path).path)   # drop ?query, %-decode
+        if path == "/health":
             self._send(200, b"", "text/plain")
             return
         # static with SPA fallback (axum ServeDir + index fallback)
-        rel = self.path.lstrip("/") or "index.html"
+        rel = path.lstrip("/") or "index.html"
         f = (self.static_dir / rel).resolve()
-        if not str(f).startswith(str(self.static_dir.resolve())) \
-                or not f.is_file():
+        root = self.static_dir.resolve()
+        try:
+            contained = f == root or f.is_relative_to(root)
+        except AttributeError:  # pragma: no cover (py<3.9)
+            contained = str(f).startswith(str(root) + "/")
+        if not contained or not f.is_file():
             f = self.static_dir / "index.html"
         if f.is_file():
             self._send(200, f.read_bytes(),
@@ -87,8 +93,15 @@ class _Handler(BaseHTTPRequestHandler):
         except json.JSONDecodeError:
             self._json({"error": "invalid json"}, 400)
             return
+        if not isinstance(body, dict):
+            self._json({"error": "body must be a JSON object"}, 400)
+            return
         if self.path == "/api/compute_frame":
-            row = self.state.compute_frame(body.get("samples", []))
+            try:
+                row = self.state.compute_frame(body.get("samples", []))
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+                return
             self._json({"row": row.tolist()})
         elif self.path == "/api/stft":
             from ..visual.spectrogram import stft_magnitudes
@@ -102,7 +115,11 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._json({"mags": mags.tolist(), "max_mag": mx})
         elif self.path == "/api/set_colormap":
-            self.state.set_colormap(str(body.get("name", "rainbow")))
+            try:
+                self.state.set_colormap(str(body.get("name", "rainbow")))
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+                return
             self._json({"ok": True})
         elif self.path == "/api/reset":
             self.state.reset()

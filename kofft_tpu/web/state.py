@@ -11,6 +11,8 @@ Rainbow; ``set_colormap``/``reset`` mirror the WASM exports
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..ops import stft as _stft
@@ -36,19 +38,30 @@ class StreamingSpectrogram:
         self._cmap = Colormap.parse(colormap)
         self._buf = np.zeros(0, dtype=np.float32)
         self._max_mag = 1e-12
+        # one state instance is shared across ThreadingHTTPServer handler
+        # threads; without the lock two concurrent pushes race on the
+        # ring buffer (dropped samples / double-drained hop)
+        self._lock = threading.Lock()
 
     def set_colormap(self, name: str) -> None:
-        self._cmap = Colormap.parse(name)
+        with self._lock:
+            self._cmap = Colormap.parse(name)
 
     def reset(self) -> None:
-        self._buf = np.zeros(0, dtype=np.float32)
-        self._max_mag = 1e-12
-        self._cmap = Colormap.RAINBOW
+        with self._lock:
+            self._buf = np.zeros(0, dtype=np.float32)
+            self._max_mag = 1e-12
+            self._cmap = Colormap.RAINBOW
 
     def compute_frame(self, samples) -> np.ndarray:
         """Push samples; returns an RGBA row (win_len//2, 4) uint8, or an
-        empty array when fewer than win_len samples are buffered."""
+        empty array when fewer than win_len samples are buffered.
+        Thread-safe (serialized on the instance lock)."""
         s = np.asarray(samples, dtype=np.float32).ravel()
+        with self._lock:
+            return self._compute_frame_locked(s)
+
+    def _compute_frame_locked(self, s) -> np.ndarray:
         self._buf = np.concatenate([self._buf, s])
         if self._buf.size < self.win_len:
             return np.zeros((0,), dtype=np.uint8)

@@ -26,20 +26,32 @@ document.getElementById("start").addEventListener("click", async () => {
   const proc = ac.createScriptProcessor(HOP, 1, 1);
   src.connect(proc);
   proc.connect(ac.destination);
-  proc.onaudioprocess = async (ev) => {
+  // serialize posts: onaudioprocess fires every ~12 ms but each frame
+  // needs a full HTTP round-trip; overlapping awaits would paint columns
+  // out of order (and an error response would kill the pipeline)
+  let chain = Promise.resolve();
+  proc.onaudioprocess = (ev) => {
     const samples = Array.from(ev.inputBuffer.getChannelData(0));
-    const { row } = await post("/api/compute_frame", { samples });
-    if (!row.length) return;
-    const h = row.length / 4;
-    // scroll left one column
-    ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
-                  0, 0, canvas.width - 1, canvas.height);
-    const img = ctx.createImageData(1, h);
-    for (let y = 0; y < h; y++) {
-      const s = y * 4, d = (h - 1 - y) * 4; // low freq at bottom
-      img.data[d] = row[s]; img.data[d + 1] = row[s + 1];
-      img.data[d + 2] = row[s + 2]; img.data[d + 3] = row[s + 3];
-    }
-    ctx.putImageData(img, canvas.width - 1, canvas.height - h);
+    chain = chain.then(async () => {
+      let resp;
+      try {
+        resp = await post("/api/compute_frame", { samples });
+      } catch (e) {
+        return;                       // transient server error: drop frame
+      }
+      const row = resp && resp.row;
+      if (!row || !row.length) return;
+      const h = row.length / 4;
+      // scroll left one column
+      ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
+                    0, 0, canvas.width - 1, canvas.height);
+      const img = ctx.createImageData(1, h);
+      for (let y = 0; y < h; y++) {
+        const s = y * 4, d = (h - 1 - y) * 4; // low freq at bottom
+        img.data[d] = row[s]; img.data[d + 1] = row[s + 1];
+        img.data[d + 2] = row[s + 2]; img.data[d + 3] = row[s + 3];
+      }
+      ctx.putImageData(img, canvas.width - 1, canvas.height - h);
+    });
   };
 });
