@@ -56,3 +56,15 @@ def test_native_ola_matches_istft_stream(rng):
     nat = np.concatenate([ola.push(td[i]) for i in range(nf)]
                          + [ola.flush()])
     np.testing.assert_allclose(nat, py, rtol=1e-4, atol=1e-5)
+
+
+def test_wav_decode_truncated_fmt_chunk_safe():
+    """A fmt header whose body is cut off must be rejected, not read past
+    the buffer (the chunk loop only checked the 8-byte header fit)."""
+    import struct
+    from kofft_tpu import native
+    if not native.available():
+        return
+    bad = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
+    assert native.wav_decode_i16(bad) is None
