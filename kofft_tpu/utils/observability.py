@@ -29,19 +29,31 @@ def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=()):
     (the analog of the reference's compile-time twiddle embedding,
     ``build.rs:6-95``): after ``prewarm``, first real calls are cache hits.
     Combine with :func:`enable_compilation_cache` to persist across
-    processes."""
+    processes.
+
+    Goes through the PUBLIC entry points so it populates exactly the
+    executable caches a real call will hit (the jitted-entry caches key
+    on config.trace_key() and on the complex-vs-planes calling
+    convention; warming internal entries under different keys compiles
+    executables no real call ever uses)."""
     import jax
     import jax.numpy as jnp
-    from ..ops.fft import _jitted_entry_pp, resolve_backend
-    from ..ops.rfft import _jitted_rfft_pp
-    b = resolve_backend(None)
+    from .. import fft, ifft, fft_split, ifft_split, rfft_split
+
     for n in sizes:
         z = jnp.zeros((*batch_shape, n), jnp.float32)
-        jax.block_until_ready(_jitted_entry_pp(n, False, None, b)(z, z))
-        jax.block_until_ready(_jitted_entry_pp(n, True, None, b)(z, z))
+        jax.block_until_ready(fft_split(z, z))
+        jax.block_until_ready(ifft_split(z, z))
+        # the complex-object path has its own jitted entry; skip it on
+        # transports that cannot move complex buffers
+        from ..ops.fft import complex_io_supported
+        if complex_io_supported():
+            zc = jnp.zeros((*batch_shape, n), jnp.complex64)
+            jax.block_until_ready(fft(zc))
+            jax.block_until_ready(ifft(zc))
     for n in rfft_sizes:
         z = jnp.zeros((*batch_shape, n), jnp.float32)
-        jax.block_until_ready(_jitted_rfft_pp(n, None, b)(z))
+        jax.block_until_ready(rfft_split(z))
 
 
 @contextlib.contextmanager

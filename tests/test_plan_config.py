@@ -93,3 +93,27 @@ def test_bad_env_value_rejected():
                        capture_output=True, text=True, timeout=120)
     assert r.returncode != 0
     assert "KOFFT_TPU_BACKEND" in r.stderr
+
+
+def test_prewarm_hits_real_caches(rng):
+    """prewarm must populate the same executable caches real calls use
+    (it previously warmed internal entries under a cache key no public
+    call ever passes, so first real calls still compiled)."""
+    import jax.numpy as jnp
+    import kofft_tpu as kt
+    from kofft_tpu.config import trace_key
+    from kofft_tpu.ops.fft import _jitted_entry_pp, resolve_backend
+    from kofft_tpu.utils.observability import prewarm
+
+    n = 192
+    prewarm([n])
+    b = resolve_backend(None)
+    info = _jitted_entry_pp.cache_info()
+    # the exact entry a real planes call uses must now be a cache HIT
+    _jitted_entry_pp(n, False, None, b, trace_key())
+    assert _jitted_entry_pp.cache_info().hits > info.hits
+    # and the public call itself runs without building a new jit wrapper
+    before = _jitted_entry_pp.cache_info().misses
+    z = jnp.zeros((n,), jnp.float32)
+    kt.fft_split(z, z)
+    assert _jitted_entry_pp.cache_info().misses == before
