@@ -137,8 +137,13 @@ def _rdft_eval(x, *, n):
     return fused_multilevel_rfft(x, n)
 
 
+def _rdft_abstract(x, *, n):
+    shp = (*x.shape[:-1], n // 2 + 1)
+    return (x.update(shape=shp), x.update(shape=shp))
+
+
 _rdft_p.def_impl(_rdft_eval)
-_rdft_p.def_abstract_eval(lambda x, *, n: (x.update(), x.update()))
+_rdft_p.def_abstract_eval(_rdft_abstract)
 _mlir.register_lowering(_rdft_p,
                         _mlir.lower_fun(_rdft_eval, multiple_results=True))
 
@@ -153,11 +158,17 @@ _ad.primitive_jvps[_rdft_p] = _rdft_jvp
 
 
 def _rdft_transpose(ct, x, *, n):
-    like = x.aval if _ad.is_undefined_primal(x) else x
+    like_shape = (x.aval if _ad.is_undefined_primal(x) else x).shape
+    os_shape = (*like_shape[:-1], n // 2 + 1)
+    like = jax.ShapeDtypeStruct(os_shape, _jnp.float32)
     ctr = _inst(ct[0], like)
     cti = _inst(ct[1], like)
-    # transpose of (real -> planes) = real plane of the unnorm. inverse
-    xbar, _ = _dft_p.bind(ctr, cti, n=n, inverse=True)
+    # transpose of (real -> one-sided planes) = zero-pad the cotangent to
+    # the full spectrum (transpose of the slice), then the real plane of
+    # the unnormalized inverse (transpose of the full-spectrum rdft)
+    pad = [(0, 0)] * (ctr.ndim - 1) + [(0, n - (n // 2 + 1))]
+    xbar, _ = _dft_p.bind(_jnp.pad(ctr, pad), _jnp.pad(cti, pad),
+                          n=n, inverse=True)
     return (xbar,)
 
 
@@ -175,6 +186,7 @@ _batching.primitive_batchers[_rdft_p] = _rdft_batch
 
 
 def pallas_rfft_planes(x, n: int):
-    """Unnormalized full-spectrum DFT of a REAL signal (single plane in
-    HBM); callers slice to one-sided. Linear primitive: jvp/grad/vmap."""
+    """Unnormalized ONE-SIDED (n//2 + 1) DFT of a REAL signal: single
+    plane in, half-spectrum planes out of the fused kernels — no
+    full-spectrum HBM materialization. Linear primitive: jvp/grad/vmap."""
     return _rdft_p.bind(x, n=n)

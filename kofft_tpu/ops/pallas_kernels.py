@@ -340,15 +340,39 @@ def _ml_batch_tile(b: int, n1: int, n2: int) -> int:
     return bt
 
 
+def _twiddle_factors(n1: int, n2: int, t: int, dtype: str):
+    """Factored four-step twiddle: W[k1, j*t + u] = col[k1, j] * base[k1, u]
+    (exact in integer phase arithmetic; the f32 product adds <= 1 ulp).
+
+    Replaces the materialized (n1, n2) twiddle plane pair — at 2^20 that
+    operand alone was 8 MB of HBM read per batch row, ~20% of the kernel's
+    total traffic; the factors are n1*t + n1*n2/t elements (~0.6 MB at
+    2^20) and stay VMEM-resident across the grid."""
+    def build():
+        n = n1 * n2
+        k1 = np.arange(n1, dtype=np.int64)
+        u = np.arange(t, dtype=np.int64)
+        j = np.arange(n2 // t, dtype=np.int64) * t
+        ang_b = (-2.0 * np.pi / n) * np.mod(np.outer(k1, u), n).astype(
+            np.float64)
+        ang_c = (-2.0 * np.pi / n) * np.mod(np.outer(k1, j), n).astype(
+            np.float64)
+        return (np.cos(ang_b).astype(dtype), np.sin(ang_b).astype(dtype),
+                np.cos(ang_c).astype(dtype), np.sin(ang_c).astype(dtype))
+
+    return tables.custom(("twfac", n1, n2, t, dtype), build)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
-              mode: str = "highest", bt: int = 1):
+              mode: str = "highest", bt: int = 1, tile: int = _ML_TILE):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n1, n2 = _pow2_split(n)
-    twr, twi = tables.twiddle(n1, n2, dtype)    # (n1, n2) W[k1, j2]
-    t = _ML_TILE
+    t = min(tile, n1)      # t tiles n2 in stage 1 and n1 in stage 2
+    # base (n1, t) + per-column-block (n1, n2/t) twiddle factors
+    ebr, ebi, ecr, eci = _twiddle_factors(n1, n2, t, dtype)
     keys1 = _ml_const_keys(n1)
     keys2 = _ml_const_keys(n2)
     # numpy on purpose: this builder is lru_cached and may first run inside
@@ -373,23 +397,43 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         yi = jnp.swapaxes(yi.reshape(m, bt, tc), 0, 1)
         return yr, yi
 
-    def s1_kernel(ar, ai, wr, wi, *crefs):
+    def _block_twiddle(br_ref, bi_ref, cr_ref, ci_ref):
+        """(n1, t) twiddle block for this grid column, synthesized on the
+        VPU from the factored tables (cheap: n1*t muls hidden under the
+        stage's DMA) instead of read from HBM. The column factor table is
+        a tiny VMEM-resident (n1, n2/t) constant; the grid step's column
+        is a dynamic lane slice (Mosaic disallows 1-wide lane blocks)."""
+        j = pl.program_id(1)
+        # one-hot lane select (dynamic width-1 lane slices don't lower)
+        tbl_r = cr_ref[...]                 # (n1, n2/t)
+        tbl_i = ci_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, tbl_r.shape, 1)
+        sel = (lane == j).astype(tbl_r.dtype)
+        c_r = jnp.sum(tbl_r * sel, axis=1, keepdims=True)
+        c_i = jnp.sum(tbl_i * sel, axis=1, keepdims=True)
+        b_r = br_ref[...]                   # (n1, t) base block
+        b_i = bi_ref[...]
+        return c_r * b_r - c_i * b_i, c_r * b_i + c_i * b_r
+
+    def s1_kernel(ar, ai, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
         cd = unpack(keys1, const_refs)
         # block (bt, n1, t): FFT each column (length n1), then twiddle
         yr, yi = line_fft_cols(ar[...], ai[...], n1, cd)
-        w_r = wr[...][None]
-        w_i = wi[...][None]
+        w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
+        w_r = w_r[None]
+        w_i = w_i[None]
         cr[...] = yr * w_r - yi * w_i
         ci[...] = yr * w_i + yi * w_r
 
-    def s1r_kernel(ar, wr, wi, *crefs):
+    def s1r_kernel(ar, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         # real-input stage 1 (rfft): no imag plane crosses HBM
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
         cd = unpack(keys1, const_refs)
         yr, yi = line_fft_cols(ar[...], None, n1, cd)
-        w_r = wr[...][None]
-        w_i = wi[...][None]
+        w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
+        w_r = w_r[None]
+        w_i = w_i[None]
         cr[...] = yr * w_r - yi * w_i
         ci[...] = yr * w_i + yi * w_r
 
@@ -403,56 +447,81 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         xr_o[...] = jnp.swapaxes(yr.reshape(n2, bt, t), 0, 1)
         xi_o[...] = jnp.swapaxes(yi.reshape(n2, bt, t), 0, 1)
 
+    def s2h_kernel(cr, ci, *crefs):
+        # one-sided stage 2 (rfft): emit only rows k2 < n2/2 — flat output
+        # indices k = k2*n1 + k1 < n/2; the Nyquist term (k2 = n2/2, k1 = 0)
+        # is a cheap XLA epilogue over C's k1 = 0 row. Halves the write
+        # traffic vs writing the full spectrum and slicing in XLA.
+        const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
+        cd = unpack(keys2, const_refs)
+        h = n2 // 2
+        br = jnp.transpose(cr[...], (2, 0, 1)).reshape(n2, bt * t)
+        bi = jnp.transpose(ci[...], (2, 0, 1)).reshape(n2, bt * t)
+        yr, yi = _fft_axis0_traced(br, bi, n2, cd, mode)
+        xr_o[...] = jnp.swapaxes(yr[:h].reshape(h, bt, t), 0, 1)
+        xi_o[...] = jnp.swapaxes(yi[:h].reshape(h, bt, t), 0, 1)
+
     def const_specs(arrs):
         return [pl.BlockSpec(a.shape,
                              (lambda nd: lambda i, j: (0,) * nd)(a.ndim),
                              memory_space=pltpu.VMEM) for a in arrs]
 
     kw = {}
-    if not interpret and n1 >= 2048:
+    if not interpret and (n1 >= 2048 or t > 128 or bt > 1):
         # the traced line-FFT's temporaries exceed Mosaic's conservative
-        # 16 MB scoped-vmem default once lines reach 2048 (2^22+ sizes);
-        # the physical budget is higher
+        # 16 MB scoped-vmem default once lines reach 2048 (2^22+ sizes)
+        # or blocks grow past the default tiling; the physical budget is
+        # higher (v5e: 128 MB)
         kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
+
+    # twiddle factor specs: base block follows the grid column; the column
+    # factor is a (n1, 1) slice of the tiny (n1, n2/t) table
+    def _tw_specs():
+        # both factor tables are grid-constant VMEM residents
+        base = pl.BlockSpec((n1, t), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+        col = pl.BlockSpec((n1, n2 // t), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+        return [base, base, col, col]
+
+    def _tw_args():
+        return (jnp.asarray(ebr), jnp.asarray(ebi),
+                jnp.asarray(ecr), jnp.asarray(eci))
 
     def stage1(b, ar, ai):
         grid = (b // bt, n2 // t)
         data = pl.BlockSpec((bt, n1, t), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
-        w = pl.BlockSpec((n1, t), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s1_kernel, grid=grid,
-            in_specs=[data, data, w, w] + const_specs(consts1),
+            in_specs=[data, data] + _tw_specs() + const_specs(consts1),
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=16 * b * n1 * n2 * max(1, n1.bit_length() // 5),
-                bytes_accessed=4 * 2 * b * n1 * n2 * 2 + 4 * 2 * n1 * n2,
+                bytes_accessed=(4 * 2 * b * n1 * n2 * 2
+                                + 4 * 2 * (n1 * t + n1 * n2 // t)),
                 transcendentals=0),
             interpret=interpret, **kw,
-        )(ar, ai, jnp.asarray(twr), jnp.asarray(twi),
-          *[jnp.asarray(c) for c in consts1])
+        )(ar, ai, *_tw_args(), *[jnp.asarray(c) for c in consts1])
 
     def stage1_real(b, ar):
         grid = (b // bt, n2 // t)
         data = pl.BlockSpec((bt, n1, t), lambda i, j: (i, 0, j),
                             memory_space=pltpu.VMEM)
-        w = pl.BlockSpec((n1, t), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s1r_kernel, grid=grid,
-            in_specs=[data, w, w] + const_specs(consts1),
+            in_specs=[data] + _tw_specs() + const_specs(consts1),
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=12 * b * n1 * n2 * max(1, n1.bit_length() // 5),
-                bytes_accessed=4 * 3 * b * n1 * n2 + 4 * 2 * n1 * n2,
+                bytes_accessed=(4 * 3 * b * n1 * n2
+                                + 4 * 2 * (n1 * t + n1 * n2 // t)),
                 transcendentals=0),
             interpret=interpret, **kw,
-        )(ar, jnp.asarray(twr), jnp.asarray(twi),
-          *[jnp.asarray(c) for c in consts1])
+        )(ar, *_tw_args(), *[jnp.asarray(c) for c in consts1])
 
     def stage2(b, cr, ci):
         grid = (b // bt, n1 // t)
@@ -472,7 +541,26 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
             interpret=interpret, **kw,
         )(cr, ci, *[jnp.asarray(c) for c in consts2])
 
-    return n1, n2, stage1, stage1_real, stage2
+    def stage2_half(b, cr, ci):
+        h = n2 // 2
+        grid = (b // bt, n1 // t)
+        data_in = pl.BlockSpec((bt, t, n2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        data_out = pl.BlockSpec((bt, h, t), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            s2h_kernel, grid=grid,
+            in_specs=[data_in, data_in] + const_specs(consts2),
+            out_specs=[data_out, data_out],
+            out_shape=[jax.ShapeDtypeStruct((b, h, n1), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=16 * b * n1 * n2 * max(1, n2.bit_length() // 5),
+                bytes_accessed=4 * 2 * b * n1 * n2 + 4 * 2 * b * n1 * h,
+                transcendentals=0),
+            interpret=interpret, **kw,
+        )(cr, ci, *[jnp.asarray(c) for c in consts2])
+
+    return n1, n2, stage1, stage1_real, stage2, stage2_half
 
 
 def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
@@ -485,9 +573,9 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     for s in batch:
         b *= s
     n1, n2 = _pow2_split(n)
-    n1, n2, stage1, _, stage2 = _build_ml(n, str(xr.dtype), interpret,
-                                          _kernel_precision(),
-                                          _ml_batch_tile(b, n1, n2))
+    n1, n2, stage1, _, stage2, _ = _build_ml(n, str(xr.dtype), interpret,
+                                             _kernel_precision(),
+                                             _ml_batch_tile(b, n1, n2))
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
     cr, ci = stage1(b, ar, ai)
@@ -496,18 +584,32 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
 
 
 def fused_multilevel_rfft(x, n: int, interpret: bool = False):
-    """Forward unnormalized DFT of a REAL signal via the multi-level
+    """ONE-SIDED unnormalized DFT of a REAL signal via the multi-level
     kernels: stage 1 reads a single plane (no zero-imag HBM traffic, 2
-    leaf dots instead of 3 at the first level). Returns the FULL-spectrum
-    planes; callers slice to one-sided ``n//2 + 1``."""
+    leaf dots instead of 3 at the first level); stage 2 writes only the
+    first ``n/2`` spectrum rows (k2 < n2/2 <=> flat k < n/2) straight from
+    VMEM — no full-spectrum materialization + XLA slice pass (that extra
+    read-8MB/write-4MB pass made 2^20 rfft *slower* than the complex FFT
+    in round 1). The Nyquist bin (k2 = n2/2, k1 = 0) is an alternating
+    sum over C's k1 = 0 row — a (b, n2)-sized XLA epilogue.
+    Returns planes of shape (..., n//2 + 1)."""
     batch = x.shape[:-1]
     b = 1
     for s in batch:
         b *= s
     n1, n2 = _pow2_split(n)
-    n1, n2, _, stage1_real, stage2 = _build_ml(n, str(x.dtype), interpret,
-                                               _kernel_precision(),
-                                               _ml_batch_tile(b, n1, n2))
+    n1, n2, _, stage1_real, _, stage2_half = _build_ml(
+        n, str(x.dtype), interpret, _kernel_precision(),
+        _ml_batch_tile(b, n1, n2))
     cr, ci = stage1_real(b, x.reshape(b, n1, n2))
-    yr, yi = stage2(b, cr, ci)
-    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+    hr, hi = stage2_half(b, cr, ci)              # (b, n2//2, n1)
+    # Nyquist: X[n/2] = sum_j2 (-1)^j2 * C[k1=0, j2]
+    signs = jnp.asarray(
+        tables.custom(("altsign", n2, str(x.dtype)),
+                      lambda: (np.where(np.arange(n2) % 2 == 0, 1.0, -1.0)
+                               .astype(str(x.dtype)),))[0])
+    nr = jnp.sum(cr[:, 0, :] * signs, axis=-1)[:, None]
+    ni = jnp.sum(ci[:, 0, :] * signs, axis=-1)[:, None]
+    yr = jnp.concatenate([hr.reshape(b, n // 2), nr], axis=-1)
+    yi = jnp.concatenate([hi.reshape(b, n // 2), ni], axis=-1)
+    return yr.reshape(*batch, n // 2 + 1), yi.reshape(*batch, n // 2 + 1)

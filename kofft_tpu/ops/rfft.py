@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import trace_key
+from ..config import trace_key, x64_active as _x64_active
 from ..errors import (EmptyInputError, InvalidValueError,
                       MismatchedLengthsError, require)
 from ._complex import merge, split
@@ -62,8 +62,8 @@ def _rfft_planes(x, n: int, backend: str):
                 y = jnp.fft.rfft(x, n)
                 return jnp.real(y), jnp.imag(y)
             if pallas_supported(n, dtype):
-                yr, yi = pallas_rfft_planes(x, n)
-                return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
+                # kernel emits the one-sided planes directly (no slice pass)
+                return pallas_rfft_planes(x, n)
             backend = "xla"
     yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
     return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
@@ -151,7 +151,7 @@ def _prep_real(x, n: Optional[int], axis: int):
     require(not (host and np.iscomplexobj(x)) and
             not (not host and jnp.iscomplexobj(x)),
             InvalidValueError, "rfft input must be real")
-    if host and x.dtype == np.float64:
+    if host and x.dtype == np.float64 and not _x64_active():
         x = x.astype(np.float32)
     ax = axis if axis >= 0 else x.ndim + axis
     require(0 <= ax < x.ndim, InvalidValueError,
@@ -218,8 +218,10 @@ def irfft(y, n: Optional[int] = None, axis: int = -1,
     elif k > want:
         y = y[..., :want]
     if host:
-        yr = np.ascontiguousarray(y.real).astype(np.float32)
-        yi = np.ascontiguousarray(y.imag).astype(np.float32)
+        ft = np.float64 if (_x64_active()
+                            and y.real.dtype == np.float64) else np.float32
+        yr = np.ascontiguousarray(y.real).astype(ft)
+        yi = np.ascontiguousarray(y.imag).astype(ft)
     else:
         yr, yi = split(y)
     if _is_tracer(yr):

@@ -95,13 +95,14 @@ def test_multilevel_batch_tiled_interpret(rng, batch):
 
 
 def test_multilevel_rfft_interpret(rng):
-    """Real-input stage 1 (single plane in HBM) matches the full FFT of
-    the real signal."""
+    """Real-input stage 1 (single plane in HBM) + one-sided stage 2 match
+    numpy's rfft, including the Nyquist bin epilogue."""
     from kofft_tpu.ops.pallas_kernels import fused_multilevel_rfft
     n = 1 << 14
     x = rng.standard_normal((3, n)).astype(np.float32)
     yr, yi = fused_multilevel_rfft(x, n, interpret=True)
-    ref = np.fft.fft(x.astype(np.float64))
+    assert yr.shape == (3, n // 2 + 1) and yi.shape == (3, n // 2 + 1)
+    ref = np.fft.rfft(x.astype(np.float64))
     assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
 
 
