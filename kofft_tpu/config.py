@@ -127,6 +127,18 @@ def trace_key() -> tuple:
     return (_config.precision, _config.dft_cutoff, _config.max_factor)
 
 
+def x64_active() -> bool:
+    """Whether the f64/complex128 tier is live: JAX's x64 mode is on and
+    the default backend can actually execute f64 (TPU cannot — there the
+    engine documents f32-only and downcasts, matching the reference's
+    "f64 path via fallback" guidance; the reference itself is generic over
+    f32/f64, ``src/num.rs:5-29``). CPU/GPU XLA backends run f64 natively."""
+    import jax
+    if not jax.config.jax_enable_x64:
+        return False
+    return jax.default_backend() != "tpu"
+
+
 def lax_precision():
     """The jax.lax.Precision used for all real matmuls in the engine.
 

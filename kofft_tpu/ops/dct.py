@@ -85,12 +85,19 @@ def _jit_apply(kind: int, n: int, dtype: str, cutoff: int, ck: tuple = ()):
 
 
 def _apply(kind: int, x):
+    from ..config import x64_active
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    if host:
+        x = np.asarray(x)
+        ft = (np.float64 if x.dtype == np.float64 and x64_active()
+              else np.float32)
+        x = x.astype(ft) if x.dtype != ft else x
+    else:
+        x = jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "DCT input must be non-empty")
     n = x.shape[-1]
-    dtype = "float32" if host else str(x.dtype)
+    dtype = str(x.dtype)
     if isinstance(x, jax.core.Tracer):
         return _traced(kind, x, n, dtype)
     return _jit_apply(kind, n, dtype, FAST_CUTOFF,

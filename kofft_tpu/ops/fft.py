@@ -285,15 +285,19 @@ def _prep(x, n: Optional[int], axis: int):
 
 def _planes_of(x):
     """Split any host/device array into float planes without complex
-    transfers."""
+    transfers. f64 planes are preserved when the x64 tier is active
+    (``config.x64_active``: jax x64 on + non-TPU backend); otherwise f64
+    downcasts to f32 — the documented TPU contract."""
+    from ..config import x64_active
     if isinstance(x, _np.ndarray):
         if _np.iscomplexobj(x):
             re = _np.ascontiguousarray(x.real)
             im = _np.ascontiguousarray(x.imag)
-            if re.dtype == _np.float64:
+            if re.dtype == _np.float64 and not x64_active():
                 re, im = re.astype(_np.float32), im.astype(_np.float32)
             return re, im
-        re = x.astype(_np.float32) if x.dtype == _np.float64 else x
+        re = (x.astype(_np.float32)
+              if x.dtype == _np.float64 and not x64_active() else x)
         return re, _np.zeros_like(re)
     return split(x)
 

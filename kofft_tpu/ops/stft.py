@@ -55,7 +55,11 @@ def _frame_indices(n_frames: int, win: int, hop: int) -> np.ndarray:
 
 
 def _window_const(window) -> np.ndarray:
-    w = np.asarray(window, dtype=np.float32)
+    from ..config import x64_active
+    w = np.asarray(window)
+    ft = (np.float64 if w.dtype == np.float64 and x64_active()
+          else np.float32)
+    w = w.astype(ft) if w.dtype != ft else w
     require(w.ndim == 1 and w.size >= 1, EmptyInputError,
             "window must be a non-empty 1-D array")
     return w
@@ -73,7 +77,7 @@ def _ola_norm_const(win_sq: np.ndarray, n_frames: int, hop: int,
         e = min(s + win, length)
         if s < length:
             norm[s:e] += win_sq[: e - s]
-    return norm.astype(np.float32)
+    return norm.astype(win_sq.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -207,7 +211,14 @@ def stft(signal, window, hop: int, onesided: bool = False,
     require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
     w = _window_const(window)
     host = not isinstance(signal, (jax.Array, jax.core.Tracer))
-    x = np.asarray(signal, dtype=np.float32) if host else jnp.asarray(signal)
+    if host:
+        from ..config import x64_active
+        x = np.asarray(signal)
+        ft = (np.float64 if x.dtype == np.float64 and x64_active()
+              else np.float32)
+        x = x.astype(ft) if x.dtype != ft else x
+    else:
+        x = jnp.asarray(signal)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "signal must be non-empty")
     b = _resolve_planes_backend(backend)
@@ -242,8 +253,11 @@ def istft(frames, window, hop: int, length: Optional[int] = None,
         fr, fi = split(f)
         return _istft_planes(fr, fi, w, hop, length, b)
     if host:
-        fr = np.ascontiguousarray(f.real).astype(np.float32)
-        fi = np.ascontiguousarray(f.imag).astype(np.float32)
+        from ..config import x64_active
+        ft = (np.float64 if f.real.dtype == np.float64 and x64_active()
+              else np.float32)
+        fr = np.ascontiguousarray(f.real).astype(ft)
+        fi = np.ascontiguousarray(f.imag).astype(ft)
     else:
         fr, fi = split(f)
     out = _jit_istft(win, hop, length, b, _window_key(w),
