@@ -50,11 +50,18 @@ def main():
         log(f"copy t={t}: {tt*1e6:.1f} us "
             f"({4*4*n/tt/1e9:.0f} GB/s eff in+out)")
 
-    for t in (128, 256, 512, 1024):
-        copy_floor(t)
+    import os
+    if os.environ.get("EXP_COPY"):
+        # measured 2026-08-16: t=128 6.8us / t=256 6.3 / t=512 6.2 —
+        # 2.4+ TB/s: chained-loop operands are VMEM-resident (S(1)),
+        # so the kernels are compute-bound in the bench regime.
+        for t in (128, 256, 512, 1024):
+            copy_floor(t)
 
     # --- per-stage timing at each tile ---
-    for tile in (128, 256, 512):
+    tiles = tuple(int(s) for s in
+                  os.environ.get("EXP_TILES", "128,256").split(","))
+    for tile in tiles:
         for mode_bt in (1,):
             n1_, n2_, s1, s1r, s2, s2h = PK._build_ml(
                 n, "float32", False, "highest", mode_bt, tile)

@@ -7,4 +7,4 @@ ops_per_sec, ...} with previous-run deltas, plus chip/topology fields.
 """
 
 from .harness import (timeit_chained, timeit_chained_scalar, BenchRecord,
-                      run_history)  # noqa: F401
+                      last_measurement_mode, run_history)  # noqa: F401

@@ -81,6 +81,7 @@ def _differential(make_runner: Callable, operand, iters: int,
             break
         delta = int(min(200_000, delta * 8))
         slope, t1 = measure(delta)
+    global _LAST_MODE
     if slope <= 2e-9:
         # jitter swamped the op term even at the delta cap: report the
         # pilot's per-op upper bound (includes the launch cost) rather
@@ -89,8 +90,22 @@ def _differential(make_runner: Callable, operand, iters: int,
         print("timeit_chained: slope below noise floor; reporting the "
               f"launch-inclusive upper bound {t_ub * 1e6:.2f} us/op",
               file=sys.stderr)
+        _LAST_MODE = "upper_bound"
         return t_ub
+    _LAST_MODE = "slope"
     return slope
+
+
+# which methodology produced the most recent timeit_chained* value:
+# "slope" (differential, launch cost cancelled) or "upper_bound"
+# (noise-floored fallback, launch-inclusive). The two are NOT comparable
+# like-for-like; BenchRecord tags each row so history deltas across
+# methodologies are visible in the JSON.
+_LAST_MODE = "slope"
+
+
+def last_measurement_mode() -> str:
+    return _LAST_MODE
 
 
 def timeit_chained(fn: Callable, operand, iters: int = 20,
@@ -153,6 +168,12 @@ class BenchRecord:
     prev_time_per_op_ns: Optional[float] = None
     change_vs_prev: Optional[float] = None
     best: bool = False
+    # defaults to the methodology of the immediately preceding
+    # timeit_chained* call (records are built right after their timing),
+    # so "upper_bound" rows are never silently compared against "slope"
+    # rows in the history
+    measurement_mode: str = dataclasses.field(
+        default_factory=lambda: last_measurement_mode())
 
     def to_dict(self):
         return dataclasses.asdict(self)
@@ -173,12 +194,17 @@ def run_history(records: list[BenchRecord],
         prev_p.write_text(json.dumps(old, indent=1))
         for r in old.get("records", []):
             key = (r["library"], r["transform"], r["size"], r["mode"])
-            prev_map[key] = r["time_per_op_ns"]
+            prev_map[key] = (r["time_per_op_ns"],
+                             r.get("measurement_mode", "slope"))
     for r in records:
         key = (r.library, r.transform, r.size, r.mode)
         if key in prev_map:
-            r.prev_time_per_op_ns = prev_map[key]
-            r.change_vs_prev = (r.time_per_op_ns - prev_map[key]) / prev_map[key]
+            prev_t, prev_mode = prev_map[key]
+            r.prev_time_per_op_ns = prev_t
+            # slope vs upper-bound values are not like-for-like; leave
+            # change_vs_prev unset across a methodology switch
+            if prev_mode == r.measurement_mode:
+                r.change_vs_prev = (r.time_per_op_ns - prev_t) / prev_t
     doc = {
         "environment": {
             "platform": jax.default_backend(),

@@ -135,10 +135,13 @@ def _norm_scale(n: int, norm: Optional[str], inverse: bool) -> Optional[float]:
 def resolve_backend(backend: Optional[str] = None) -> str:
     """Resolve the request to a backend name. 'auto' is kept first-class
     (the engine ladder picks the measured-fastest engine per shape class
-    for it); an explicit name is honored exactly — requesting 'pallas'
-    must never be silently rerouted to another engine by the zone
-    heuristics. Analog of the reference's runtime CPU-feature factory
-    ``new_fft_impl`` (``src/fft.rs:1954-1985``)."""
+    for it); an explicit name is never *zone*-rerouted — the measured
+    shape-class heuristics apply to 'auto' only. An explicit 'pallas'
+    request still degrades to the XLA engine when the kernel inventory
+    lacks the shape (non-pow2 n, n outside [2^14, 2^24], f64, off-TPU):
+    capability fallback, not heuristic rerouting. Analog of the
+    reference's runtime CPU-feature factory ``new_fft_impl``
+    (``src/fft.rs:1954-1985``)."""
     return backend or get_config().backend
 
 

@@ -12,4 +12,5 @@ from .mesh import make_mesh, should_shard  # noqa: F401
 from .ndfft_sharded import fftn_sharded, ifftn_sharded  # noqa: F401
 from .fft_sharded import fft_sharded, ifft_sharded  # noqa: F401
 from .stft_sharded import stft_sharded, istft_sharded  # noqa: F401
-from .auto import fftn_auto, stft_auto  # noqa: F401
+from .auto import (calibrate_shard_threshold, fft_auto, fftn_auto,  # noqa: F401
+                   istft_auto, stft_auto)

@@ -21,7 +21,8 @@ from .mesh import make_mesh, should_shard
 from .ndfft_sharded import fftn_sharded
 from .stft_sharded import stft_sharded
 
-__all__ = ["fftn_auto", "stft_auto"]
+__all__ = ["fft_auto", "fftn_auto", "stft_auto", "istft_auto",
+           "calibrate_shard_threshold"]
 
 
 def _usable_devices() -> int:
@@ -56,3 +57,105 @@ def stft_auto(signal, window, hop: int, axis_name: str = "d"):
                             mesh=make_mesh(d, axis_name),
                             axis_name=axis_name)
     return stft_split(signal, window, hop)
+
+
+def fft_auto(xr, xi, axis_name: str = "d", inverse: bool = False):
+    """1-D FFT planes: the distributed four-step (two all_to_alls over
+    the mesh, ``fft_sharded``) when the signal clears the threshold and
+    factorizes for the mesh, else the single-chip engine. The 1-D analog
+    of the reference's per-call Rayon gate (``src/fft.rs:244-307``).
+
+    Returns (yr, yi) in natural order; sharded results keep their device
+    sharding — ``np.asarray`` gathers."""
+    from ..ops.fft import fft_split
+    from .fft_sharded import _split_for_mesh, fft_sharded
+    d = _usable_devices()
+    shape = np.shape(xr)
+    n = shape[-1] if shape else 0
+    if (d > 1 and len(shape) == 1 and should_shard(n, d)
+            and _split_for_mesh(n, d) is not None):
+        return fft_sharded(xr, xi, mesh=make_mesh(d, axis_name),
+                           axis_name=axis_name, inverse=inverse,
+                           restore_layout=True)
+    return fft_split(xr, xi, inverse=inverse)
+
+
+def istft_auto(fr, fi, window, hop: int, axis_name: str = "d"):
+    """Inverse STFT planes: frame-sharded OLA with ppermute halo exchange
+    when worth it, else local. Both paths return the first ``F * hop``
+    reconstructed samples (the streaming "push" region — the only region
+    every chip can finalize without a second halo round)."""
+    from ..ops.stft import istft_split
+    from .stft_sharded import istft_sharded
+    d = _usable_devices()
+    shape = np.shape(fr)
+    w = np.asarray(window)
+    nf = shape[-2] if len(shape) >= 2 else 0
+    total = nf * w.shape[0]
+    if (d > 1 and len(shape) == 2 and should_shard(total, d)
+            and nf % d == 0):
+        return istft_sharded(fr, fi, window, hop,
+                             mesh=make_mesh(d, axis_name),
+                             axis_name=axis_name)
+    return istft_split(fr, fi, window, hop, length=nf * hop)
+
+
+def calibrate_shard_threshold(axis_name: str = "d",
+                              probe_points: int = 1 << 18,
+                              apply: bool = True) -> int:
+    """Measure whether sharding pays at ``probe_points`` and set the
+    threshold accordingly — the mesh analog of the reference's measured
+    calibration probe (``src/fft.rs:128-140``, memcpy-throughput based).
+
+    Times the local single-chip FFT against the sharded four-step at the
+    probe size on the live mesh (the collective cost is thereby measured,
+    not modeled), then bisects over octaves: the threshold lands at the
+    smallest power of two where sharding won. With one device (or if
+    sharding never wins within the scan), returns the current threshold
+    unchanged. Wall-clock timing with ``block_until_ready`` — on async
+    transports without reliable completion (axon tunnel) calibration is
+    skipped (d == 1 there anyway).
+    """
+    import time
+
+    from ..config import get_config, set_shard_threshold
+    from .fft_sharded import _split_for_mesh, fft_sharded
+
+    d = _usable_devices()
+    cur = get_config().shard_threshold
+    if d <= 1:
+        return cur
+
+    from ..ops.fft import fft_split
+    mesh = make_mesh(d, axis_name)
+
+    def _time(f, *args):
+        y = f(*args)                       # warm (compile)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            y = f(*args)
+        jax.block_until_ready(y)
+        return (time.perf_counter() - t0) / 3
+
+    import jax.numpy as jnp
+    best = None
+    n = int(probe_points)
+    for _ in range(4):                     # scan down the octaves
+        if n < 1 << 10 or _split_for_mesh(n, d) is None:
+            break
+        xr = jnp.zeros((n,), jnp.float32)
+        xi = jnp.zeros((n,), jnp.float32)
+        t_local = _time(lambda a, b: fft_split(a, b), xr, xi)
+        t_shard = _time(
+            lambda a, b: fft_sharded(a, b, mesh=mesh, axis_name=axis_name,
+                                     restore_layout=True), xr, xi)
+        if t_shard < t_local:
+            best = n // d                  # threshold is points-per-chip
+            n //= 2
+        else:
+            break
+    out = best if best is not None else cur
+    if apply and best is not None:
+        set_shard_threshold(out)
+    return out

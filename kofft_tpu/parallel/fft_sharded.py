@@ -137,8 +137,12 @@ def fft_sharded(xr, xi, mesh: Optional[Mesh] = None, axis_name: str = "d",
     ``kofft_tpu.fft``) sharded contiguously; the default returns the
     transposed-digit layout — element ``[k1, k2]`` of the row-major
     (n1, n2) view holds ``X[k1 + n1*k2]`` — saving one all_to_all when
-    downstream stages (convolution, filtering, ifft) can consume it.
-    Inverse applies the 1/n backward normalization."""
+    downstream elementwise stages (convolution kernels, filtering masks
+    laid out in the same digit order) can consume it. ``ifft_sharded`` is
+    NOT such a consumer: it is the conjugate-wrapped forward program and
+    requires natural row-major input — chain it only after
+    ``restore_layout=True``. Inverse applies the 1/n backward
+    normalization."""
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     d = mesh.shape[axis_name]
     xr = jnp.asarray(xr)

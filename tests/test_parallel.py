@@ -209,3 +209,70 @@ def test_fft_sharded_matches_single_chip(rng):
     got = np.asarray(yr) + 1j * np.asarray(yi)
     want = kt.asnumpy(kt.fft(x))
     assert np.abs(got - want).max() < 1e-2 * max(1.0, np.abs(want).max())
+
+
+def test_fft_auto_routes(rng, mesh):
+    """fft_auto shards above the gate (multi-device output sharding) and
+    stays local below it — both sides forced via the runtime setter
+    (reference pattern tests/parallel_stockham.rs:6-28)."""
+    from kofft_tpu.config import set_shard_threshold
+    from kofft_tpu.parallel import fft_auto
+    n = 1 << 12
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    ref = np.fft.fft(x.astype(np.complex128))
+    try:
+        set_shard_threshold(1)      # force sharding
+        yr, yi = fft_auto(np.ascontiguousarray(x.real),
+                          np.ascontiguousarray(x.imag))
+        assert len(yr.sharding.device_set) > 1, "expected sharded output"
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+        set_shard_threshold(10 ** 9)  # force local
+        yr, yi = fft_auto(np.ascontiguousarray(x.real),
+                          np.ascontiguousarray(x.imag))
+        assert len(yr.sharding.device_set) == 1, "expected local output"
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+    finally:
+        set_shard_threshold(None)
+
+
+def test_istft_auto_routes(rng, mesh):
+    from kofft_tpu.config import set_shard_threshold
+    from kofft_tpu.parallel import istft_auto
+    n, win, hop = 8 * 64, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x, w, hop))
+    nf = frames.shape[0]
+    offline = np.asarray(S.istft(frames, w, hop,
+                                 length=(nf - 1) * hop + win))[: nf * hop]
+    fr = np.ascontiguousarray(frames.real)
+    fi = np.ascontiguousarray(frames.imag)
+    try:
+        set_shard_threshold(1)
+        out = np.asarray(istft_auto(fr, fi, w, hop))
+        assert out.shape == (nf * hop,)
+        assert snr_db(offline, out) > SNR
+        set_shard_threshold(10 ** 9)
+        out2 = np.asarray(istft_auto(fr, fi, w, hop))
+        assert out2.shape == (nf * hop,)
+        assert snr_db(offline, out2) > SNR
+    finally:
+        set_shard_threshold(None)
+
+
+def test_calibrate_shard_threshold(mesh):
+    """The probe runs on the live mesh, returns a positive points-per-chip
+    threshold, and only mutates config when it measured a sharding win
+    (reference calibration probe analog, src/fft.rs:128-140)."""
+    from kofft_tpu.config import get_config, set_shard_threshold
+    from kofft_tpu.parallel import calibrate_shard_threshold
+    try:
+        before = get_config().shard_threshold
+        out = calibrate_shard_threshold(probe_points=1 << 12, apply=False)
+        assert isinstance(out, int) and out > 0
+        assert get_config().shard_threshold == before  # apply=False
+        out2 = calibrate_shard_threshold(probe_points=1 << 12, apply=True)
+        assert get_config().shard_threshold in (before, out2)
+    finally:
+        set_shard_threshold(None)
