@@ -363,6 +363,23 @@ def _twiddle_factors(n1: int, n2: int, t: int, dtype: str):
     return tables.custom(("twfac", n1, n2, t, dtype), build)
 
 
+def _ml_compiler_kwargs(interpret: bool, n1: int, t: int, bt: int) -> dict:
+    """Mosaic CompilerParams for the multilevel stages.
+
+    The traced line-FFT's temporaries exceed Mosaic's conservative 16 MB
+    scoped-vmem default once lines reach 2048 (2^22+ sizes) or blocks grow
+    past the default tiling (wider tiles / folded batch rows); the
+    physical budget is far higher (v5e: 128 MB). Removing this guard
+    breaks the 2^22-2^24 sizes ON CHIP ONLY (commit b314492) — the
+    off-chip regression test asserts this function's contract directly
+    (tests/test_pallas.py::test_vmem_guard_*)."""
+    if interpret or (n1 < 2048 and t <= 128 and bt <= 1):
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
 @functools.lru_cache(maxsize=None)
 def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
               mode: str = "highest", bt: int = 1, tile: int = _ML_TILE):
@@ -466,14 +483,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                              (lambda nd: lambda i, j: (0,) * nd)(a.ndim),
                              memory_space=pltpu.VMEM) for a in arrs]
 
-    kw = {}
-    if not interpret and (n1 >= 2048 or t > 128 or bt > 1):
-        # the traced line-FFT's temporaries exceed Mosaic's conservative
-        # 16 MB scoped-vmem default once lines reach 2048 (2^22+ sizes)
-        # or blocks grow past the default tiling; the physical budget is
-        # higher (v5e: 128 MB)
-        kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+    kw = _ml_compiler_kwargs(interpret, n1, t, bt)
 
     # twiddle factor specs: base block follows the grid column; the column
     # factor is a (n1, 1) slice of the tiny (n1, n2/t) table

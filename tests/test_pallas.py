@@ -8,6 +8,9 @@ against the float64 oracle in the Pallas interpreter.
 import numpy as np
 import pytest
 
+import jax
+import jax.numpy as jnp
+
 from kofft_tpu.ops.dft import snr_db
 from kofft_tpu.ops.pallas_kernels import (_pow2_split, fused_four_step_fft,
                                           fused_four_step_supported)
@@ -203,3 +206,43 @@ def test_backend_request_semantics():
     finally:
         set_backend(None)
     assert resolve_backend(None) == "auto"
+
+
+def test_vmem_guard_contract():
+    """Large-n / wide-tile / folded-batch multilevel builds must carry the
+    raised Mosaic vmem limit: removing the guard breaks 2^22-2^24 on chip
+    (commit b314492). This pins the guard's activation conditions so a
+    refactor that drops it fails off-chip."""
+    from kofft_tpu.ops.pallas_kernels import _ml_compiler_kwargs
+
+    def limit(kw):
+        return kw["compiler_params"].vmem_limit_bytes if kw else 0
+
+    # 2^22+: n1 reaches 2048 -> guard required, >= 64 MB headroom
+    assert limit(_ml_compiler_kwargs(False, 2048, 128, 1)) >= 64 * 2 ** 20
+    # wide tiles and folded batch rows also exceed the 16 MB default
+    assert limit(_ml_compiler_kwargs(False, 1024, 256, 1)) >= 64 * 2 ** 20
+    assert limit(_ml_compiler_kwargs(False, 1024, 128, 2)) >= 64 * 2 ** 20
+    # the small default-tiling case must NOT override Mosaic's default
+    assert _ml_compiler_kwargs(False, 1024, 128, 1) == {}
+    # interpret mode (CPU tests) never passes TPU compiler params
+    assert _ml_compiler_kwargs(True, 4096, 256, 8) == {}
+
+
+@pytest.mark.parametrize("logn", [22, 24])
+def test_multilevel_large_n_traces(logn):
+    """Trace-level structure check of the 2^22/2^24 compiled-path kernels
+    (interpret=False, the real BlockSpecs/grids/compiler params):
+    jax.eval_shape runs Pallas' trace-time validation — grid/BlockSpec
+    divisibility, block shapes, out_shape consistency — without needing a
+    TPU to lower to Mosaic. Catches structural breakage of the large-n
+    path that interpret-mode parity (capped at 2^15 for runtime) cannot."""
+    from kofft_tpu.ops.pallas_kernels import (fused_multilevel_fft,
+                                              fused_multilevel_rfft)
+    n = 1 << logn
+    sds = jax.ShapeDtypeStruct((1, n), jnp.float32)
+    out = jax.eval_shape(lambda a, b: fused_multilevel_fft(a, b, n),
+                         sds, sds)
+    assert tuple(out[0].shape) == (1, n)
+    outr = jax.eval_shape(lambda a: fused_multilevel_rfft(a, n), sds)
+    assert tuple(outr[0].shape) == (1, n // 2 + 1)
