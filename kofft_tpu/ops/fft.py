@@ -221,25 +221,32 @@ def _fft_traced(x, n: int, inverse: bool, norm: Optional[str], backend: str):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_entry(n: int, inverse: bool, norm: Optional[str], backend: str,
-                  ck: tuple = ()):
+                  ck: tuple = (), donate: bool = False):
     """One jitted callable per (n, inverse, norm, backend, config key) —
     JAX's shape cache adds the batch dims. This is the plan/executable
     cache: warm calls do zero Python-side work beyond a dict hit (the
     reference's zero-alloc warm-call discipline, tests/bluestein.rs:60-66).
     ``ck`` carries config.trace_key() so runtime setters (precision,
-    cutoff) invalidate warm entries instead of being silently ignored."""
+    cutoff) invalidate warm entries instead of being silently ignored.
+    ``donate`` aliases the output onto the input buffer — the functional
+    form of the reference's in-place API (``src/fft.rs:494-554``); at
+    2^22+ it halves peak HBM. Cached separately from the non-donating
+    entry (donation invalidates the caller's array)."""
     return jax.jit(functools.partial(_fft_traced, n=n, inverse=inverse,
-                                     norm=norm, backend=backend))
+                                     norm=norm, backend=backend),
+                   donate_argnums=(0,) if donate else ())
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_entry_pp(n: int, inverse: bool, norm: Optional[str],
-                     backend: str, ck: tuple = ()):
+                     backend: str, ck: tuple = (), donate: bool = False):
     """Planes-in/planes-out variant: complex data crosses the host<->device
     boundary as separate float planes (required on transports without
-    complex buffer support; also the Pallas calling convention)."""
+    complex buffer support; also the Pallas calling convention). With
+    ``donate``, each output plane aliases its same-shape input plane."""
     return jax.jit(functools.partial(_fft_traced_planes, n=n, inverse=inverse,
-                                     norm=norm, backend=backend))
+                                     norm=norm, backend=backend),
+                   donate_argnums=(0, 1) if donate else ())
 
 
 @functools.lru_cache(maxsize=1)
@@ -313,16 +320,19 @@ def _dispatch(x, n, axis, norm, inverse, backend):
     if _is_tracer(x):
         y = _fft_traced(x, m, inverse, norm, b)
     elif not complex_io_supported():
-        # plane-transfer fallback: compute on device, return host numpy
+        # plane-transfer fallback: compute on device, return host numpy.
+        # The uploaded plane buffers are framework-owned temporaries, so
+        # they are donated — in-place spirit (fft.rs:494-554), halved
+        # peak HBM at large n.
         xr, xi = _planes_of(x)
         yr, yi = _jitted_entry_pp(m, inverse, norm, b,
-                                  trace_key())(xr, xi)
+                                  trace_key(), True)(xr, xi)
         y = _np.asarray(yr) + 1j * _np.asarray(yi)
     elif isinstance(x, _np.ndarray) and _np.iscomplexobj(x):
         xr = _np.ascontiguousarray(x.real)
         xi = _np.ascontiguousarray(x.imag)
         yr, yi = _jitted_entry_pp(m, inverse, norm, b,
-                                  trace_key())(xr, xi)
+                                  trace_key(), True)(xr, xi)
         y = merge(yr, yi)
     else:
         y = _jitted_entry(m, inverse, norm, b, trace_key())(x)
@@ -357,12 +367,17 @@ def ifft(x, n: Optional[int] = None, axis: int = -1,
 
 
 def fft_split(xr, xi, inverse: bool = False, norm: Optional[str] = None,
-              backend: Optional[str] = None):
+              backend: Optional[str] = None, donate: bool = False):
     """SoA split-complex FFT along the last axis: (re, im) planes in,
     (re, im) planes out. Parity with the reference's split-(re,im) API
     (``SplitComplex`` fft variants, ``src/fft.rs:466-587``); also the
     native calling convention for Pallas kernels and for transports that
-    cannot move complex dtypes across the host boundary. Traceable."""
+    cannot move complex dtypes across the host boundary. Traceable.
+
+    ``donate=True`` is the functional form of the reference's in-place
+    API (``fft.rs:494-554``): the input planes' device buffers are
+    donated to the outputs (halving peak HBM at 2^22+) and MUST NOT be
+    used by the caller afterwards."""
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
     require(xr.shape == xi.shape, MismatchedLengthsError,
@@ -373,12 +388,14 @@ def fft_split(xr, xi, inverse: bool = False, norm: Optional[str] = None,
     b = resolve_backend(backend)
     if _is_tracer(xr) or _is_tracer(xi):
         return _fft_traced_planes(xr, xi, n, inverse, norm, b)
-    return _jitted_entry_pp(n, inverse, norm, b, trace_key())(xr, xi)
+    return _jitted_entry_pp(n, inverse, norm, b, trace_key(),
+                            bool(donate))(xr, xi)
 
 
 def ifft_split(xr, xi, norm: Optional[str] = None,
-               backend: Optional[str] = None):
-    return fft_split(xr, xi, inverse=True, norm=norm, backend=backend)
+               backend: Optional[str] = None, donate: bool = False):
+    return fft_split(xr, xi, inverse=True, norm=norm, backend=backend,
+                     donate=donate)
 
 
 def fft_batch(xs, backend: Optional[str] = None):
