@@ -1,6 +1,12 @@
 // Streaming spectrogram client (reference app.mjs analog): captures mic
 // audio, posts hop-sized chunks to /api/compute_frame, scrolls the canvas
 // left and paints each returned RGBA column.
+
+// PWA offline shell (reference sw.js parity)
+if ("serviceWorker" in navigator) {
+  navigator.serviceWorker.register("./sw.js").catch(() => {});
+}
+
 const canvas = document.getElementById("spec");
 const ctx = canvas.getContext("2d");
 const HOP = 512;

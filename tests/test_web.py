@@ -94,3 +94,43 @@ def test_api_set_colormap_reset(server):
     assert _post(server + "/api/set_colormap", {"name": "viridis"})[1]["ok"]
     assert _post(server + "/api/reset", {})[1]["ok"]
 
+
+
+def test_service_worker_served(server):
+    """sw.js ships with the shell and the right MIME (a SW must be
+    served as JS from the app scope to register) — reference PWA parity
+    (web-spectrogram/sw.js)."""
+    status, headers, body = _get(server + "/sw.js")
+    assert status == 200
+    assert headers.get("Content-Type") == "text/javascript"
+    assert b"addEventListener(\"install\"" in body
+    assert b"addEventListener(\"fetch\"" in body
+
+
+def test_service_worker_shell_entries_resolvable(server):
+    """Every precache SHELL entry in sw.js must actually be servable —
+    a rename that breaks offline caching fails here."""
+    import re
+    _, _, body = _get(server + "/sw.js")
+    entries = re.findall(r'"\./([^"]*)"', body.decode())
+    assert entries, "sw.js must declare precache shell entries"
+    for e in entries:
+        status, _, _ = _get(server + "/" + e)
+        assert status == 200, f"shell entry {e!r} not servable"
+
+
+def test_service_worker_never_caches_api():
+    """API POST endpoints are stateful (streaming frames) and must be
+    excluded from the cache policy."""
+    from pathlib import Path
+    sw = (Path(__file__).parent.parent / "kofft_tpu" / "web" / "static"
+          / "sw.js").read_text()
+    assert "/api/" in sw and "network only" in sw
+    assert 'req.method !== "GET"' in sw
+
+
+def test_app_registers_service_worker():
+    from pathlib import Path
+    app = (Path(__file__).parent.parent / "kofft_tpu" / "web" / "static"
+           / "app.mjs").read_text()
+    assert "serviceWorker" in app and "register" in app
