@@ -89,6 +89,19 @@ def main() -> None:
     sweep("1-D FFT (distributed four-step)", fft1d_case)
     sweep("STFT (ppermute halo)", stft_case)
 
+    # machine-checked invariant: the compiled 1-D program moves EXACTLY
+    # the canonical all_to_all volume per chip ((D-1)/D x local bytes per
+    # step, constant in weak scaling) — the checkable proxy for the
+    # >= 85% efficiency target absent a pod (also pinned in CI,
+    # tests/test_parallel.py::test_fft_sharded_comm_volume_invariant)
+    from kofft_tpu.parallel.validate import check_fft_sharded_comm_volume
+    print("--- comm-volume audit (compiled HLO vs canonical) ---")
+    for d in [x for x in (2, 4, 8) if x <= max_dev]:
+        rep = check_fft_sharded_comm_volume((1 << log2_per_chip) * d,
+                                            make_mesh(d))
+        print(f"D={d}: local a2a {rep['local_a2a_bytes']} B, cross-chip "
+              f"{rep['cross_chip_bytes']} B per chip — matches canonical")
+
 
 if __name__ == "__main__":
     main()
