@@ -115,15 +115,22 @@ def main() -> None:
                                t3dj * 1e9, 1.0 / t3dj, platform))
     log(f"fft3 128^3: {t3d * 1e6:.1f} us (jnp {t3dj * 1e6:.1f} us)")
 
-    # ---- real FFT 2^20 (output shape differs from input, so the chain
-    # feeds a scalar back into the input instead of the output pytree) ---
+    # ---- real FFT 2^20. Ping-pong chain (outputs rebuilt into the next
+    # real input via one ~1 us concat) so the row is methodology-matched
+    # with the complex row above: chained loop-carry structure changes the
+    # measured time by ~30-60 us at this size (scalar-carry forces fresh
+    # intermediates per iteration; measured r2, exp_harness_bias.py), so
+    # comparing a scalar-carry rfft against a ping-pong complex FFT was
+    # biased against rfft. ---
     xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
 
-    def rfft_step(a, acc):
-        yr, yi = kt.rfft_split(a * (1.0 + 1e-7 * acc))
-        return acc + yr[0, 0] * 1e-20
+    def rfft_pp(a):
+        yr, yi = kt.rfft_split(a)
+        nxt = jnp.concatenate([yr[..., : n // 2], yi[..., : n // 2]],
+                              axis=-1) * 1e-3
+        return (nxt,)
 
-    trfft = timeit_chained_scalar(rfft_step, xrr)
+    trfft = timeit_chained(lambda p: rfft_pp(p[0]), (xrr,), iters=100)
     records.append(BenchRecord("kofft_tpu", "real", n, "single",
                                trfft * 1e9, 1.0 / trfft, platform))
     log(f"rfft 2^20: {trfft * 1e3:.3f} ms  [kofft 66.946 ms]")

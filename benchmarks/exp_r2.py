@@ -67,6 +67,28 @@ def main():
                         iters=50)
     log(f"8x2^20 batched: {tb*1e3:.3f} ms = {bt*n/tb/1e9:.2f} Gpts/s")
 
+    # --- 3-D 128^3: rotation-method engine vs XLA's fused fftn ---
+    import os
+    if os.environ.get("EXP_3D"):
+        from kofft_tpu.ops.ndfft import fftn_split
+        s = 128
+        x3r = jnp.asarray(rng.standard_normal((s, s, s)).astype(np.float32))
+        x3i = jnp.asarray(rng.standard_normal((s, s, s)).astype(np.float32))
+        # SNR first
+        yr3, yi3 = fftn_split(x3r, x3i)
+        ref3 = np.fft.fftn(np.asarray(x3r).astype(np.complex128)
+                           + 1j * np.asarray(x3i).astype(np.float64))
+        log(f"fft3d 128^3 SNR: "
+            f"{snr_db(ref3, np.asarray(yr3) + 1j * np.asarray(yi3)):.1f} dB")
+        t3 = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x3r, x3i))
+        log(f"fft3d 128^3 (rotation): {t3*1e6:.1f} us")
+
+        def jfftn(q):
+            y = jnp.fft.fftn(q[0] + 1j * q[1])
+            return jnp.real(y), jnp.imag(y)
+        t3j = timeit_chained(jax.jit(jfftn), (x3r, x3i))
+        log(f"fft3d 128^3 (jnp.fft.fftn): {t3j*1e6:.1f} us")
+
 
 if __name__ == "__main__":
     main()
