@@ -22,23 +22,28 @@ Measured design notes (v5e, 2^20 c32, chained-dependency timing)
 -----------------------------------------------------------------
 * Complex matmuls use the 3-multiply Gauss/Karatsuba form at HIGHEST
   precision: 18 MXU passes per level instead of 24, 288 -> 230 us end to
-  end at unchanged SNR (135 dB vs f64). The kernels are bound by MXU
-  *precision passes*, not utilization: a 32-contraction leaf and a dense
-  128-contraction cost the same wall-clock per level.
+  end at unchanged SNR (135 dB vs f64).
+* r2 stage isolation corrected the r1 cost model: per stage (tile=128,
+  b=1) the time is ~52 us FIXED (the level reshapes' lane<->sublane
+  relayouts + grid overheads) plus only ~1.55 us per MXU pass
+  (s1: highest/18-pass 80.3 us, default/3-pass 57.1 us). The MXU is
+  nearly free; the four-step's relayouts dominate. The stage-2 (2,0,1)
+  block transpose alone is ~7 us (wrong-math structure probe 69.0 vs
+  76.4 us).
+* Composed two-stage transforms pay ~15-60 us over the isolated stage
+  sum: intermediates BETWEEN pallas calls materialize for real even
+  when chained-loop carries ride VMEM (see memory notes / experiment
+  scripts under benchmarks/).
 * A full-MXU-width variant (residual factors r < 128 lifted to dense
   128-contractions via kron(F_r, I_{128/r}) block matmuls — index-free
   reshapes, no transposes) was built and measured SLOWER (344 vs 312 us):
-  utilization is not the binding constraint, so the extra lifted flops
-  only add pass time. Balanced 32x32 leaves win; the experiment is
-  recorded here so it is not repeated.
-* In-kernel ``jnp.swapaxes`` on (32, 32, t) blocks costs ~0 (Mosaic
-  relayout hides under DMA), and the stage-A twiddle read from HBM is
-  free as well (removing it via a separable running product changed
-  nothing) — the grid is DMA/pass-bound, not VPU-bound.
-* 'high' precision maps to a manual bf16x3 scheme (hi/lo split, 3 DEFAULT
-  passes): 103.6 dB at 228 us with the 4-mult form — Mosaic has no native
-  HIGH lowering for dot_general. 'default' (single-pass bf16) reaches
-  157 us but only 47 dB; it exists for throughput-over-accuracy users.
+  the lift adds the same relayout class it tries to avoid. Balanced
+  32x32 leaves win; recorded here so it is not repeated.
+* 'high' precision (manual bf16x3 hi/lo, 12 DEFAULT passes — Mosaic has
+  no native HIGH dot lowering) measures the SAME as highest (80.7 vs
+  80.3 us/stage, r2 re-measurement): with passes at 1.55 us the 6-pass
+  saving drowns in the split overhead. It remains only for API parity.
+  'default' (3 passes) saves ~23 us/stage at 47 dB — throughput tier.
 """
 
 from __future__ import annotations
