@@ -335,7 +335,7 @@ def _dispatch(x, n, axis, norm, inverse, backend):
                                   trace_key(), True)(xr, xi)
         y = merge(yr, yi)
     else:
-        y = _jitted_entry(m, inverse, norm, b, trace_key())(x)
+        y = _jitted_entry(m, inverse, norm, b, trace_key(), False)(x)
     ax = axis if axis >= 0 else y.ndim + axis
     if ax != y.ndim - 1:
         xp = _np if isinstance(y, _np.ndarray) else jnp

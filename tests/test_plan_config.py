@@ -110,7 +110,7 @@ def test_prewarm_hits_real_caches(rng):
     b = resolve_backend(None)
     info = _jitted_entry_pp.cache_info()
     # the exact entry a real planes call uses must now be a cache HIT
-    _jitted_entry_pp(n, False, None, b, trace_key())
+    _jitted_entry_pp(n, False, None, b, trace_key(), False)
     assert _jitted_entry_pp.cache_info().hits > info.hits
     # and the public call itself runs without building a new jit wrapper
     before = _jitted_entry_pp.cache_info().misses
