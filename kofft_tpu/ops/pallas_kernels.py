@@ -601,13 +601,15 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
 def fused_multilevel_rfft(x, n: int, interpret: bool = False):
     """ONE-SIDED unnormalized DFT of a REAL signal via the multi-level
     kernels: stage 1 reads a single plane (no zero-imag HBM traffic, 2
-    leaf dots instead of 3 at the first level); stage 2 writes only the
-    first ``n/2`` spectrum rows (k2 < n2/2 <=> flat k < n/2) straight from
-    VMEM — no full-spectrum materialization + XLA slice pass (that extra
-    read-8MB/write-4MB pass made 2^20 rfft *slower* than the complex FFT
-    in round 1). The Nyquist bin (k2 = n2/2, k1 = 0) is an alternating
-    sum over C's k1 = 0 row — a (b, n2)-sized XLA epilogue.
-    Returns planes of shape (..., n//2 + 1)."""
+    leaf dots instead of 3 at the first level; measured 64.8 vs 80.3 us
+    at 2^20); stage 2 writes only the first ``n/2`` spectrum rows
+    (k2 < n2/2 <=> flat k < n/2) straight from VMEM — no full-spectrum
+    materialization + XLA slice pass. The Nyquist bin (k2 = n2/2,
+    k1 = 0) is an alternating sum over C's k1 = 0 row; the whole
+    one-sided assembly epilogue measures 8.6 us (r1's "rfft slower than
+    the complex FFT" was mostly a harness-structure artifact — see
+    benchmarks/exp_harness_bias.py — plus the halved write traffic
+    here). Returns planes of shape (..., n//2 + 1)."""
     batch = x.shape[:-1]
     b = 1
     for s in batch:
