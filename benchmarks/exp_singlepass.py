@@ -6,6 +6,13 @@ composed two-call path pays ~57 us of inter-call materialization while
 in-VMEM block transposes measure ~7 us — so a fused single call should
 now win if Mosaic accepts the shapes and the VMEM budget holds
 (in 8 + tw 8 + out 8 MB + line-FFT temporaries at 2^20).
+
+OUTCOME (r2, measured): the kernel compiles and executes, but Mosaic
+takes ~350 s to compile the full-width traced body (two 1024-line FFT
+recursions + a 1024x1024 in-VMEM transpose in one kernel), and the
+process then stalls on post-run host downloads. Disqualified on compile
+time regardless of runtime — kept as the recorded retry so the negative
+result carries its evidence.
 """
 from __future__ import annotations
 
