@@ -578,6 +578,169 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
     return n1, n2, stage1, stage1_real, stage2, stage2_half
 
 
+# ---------------------------------------------------------------------------
+# Phased one-call kernel: both four-step stages in ONE pallas_call, the
+# inter-stage C matrix held in persistent VMEM scratch across the
+# sequential grid. Each step still traces only a tile-width body (the
+# full-width single-call variant compiles for ~350 s — see
+# benchmarks/exp_singlepass.py), so compile time matches the two-call
+# path while the inter-call C materialization disappears. Measured
+# (v5e, 2^20 c32): 136.9 us vs 174 for the two-call path (7.66 Gpts/s,
+# -21%); 8x2^20 batched 1.264 ms vs 1.478 (-14.5%). SNR unchanged
+# (134.9 dB). benchmarks/exp_phased.py is the measurement record.
+# ---------------------------------------------------------------------------
+
+# phased scratch holds both C planes in VMEM: 2*n*4 bytes. Above 2^22
+# (32 MB) the margin over the v5e budget thins against blocks + consts;
+# larger sizes stay on the two-call kernels.
+_PHASED_MAX_N = 1 << 22
+
+
+@functools.lru_cache(maxsize=None)
+def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
+                  mode: str = "highest", real: bool = False):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2 = _pow2_split(n)
+    t = min(_ML_TILE, n1)
+    ph1 = n2 // t                      # stage-1 steps (column tiles)
+    ph2 = n1 // t                      # stage-2 steps (line tiles)
+    h = n2 // 2                        # one-sided stage-2 rows (rfft)
+    keys1 = _ml_const_keys(n1)
+    keys2 = _ml_const_keys(n2)
+    consts1 = _ml_const_arrays(keys1, dtype)
+    consts2 = _ml_const_arrays(keys2, dtype)
+    nc1 = len(consts1)
+    ebr, ebi, ecr, eci = _twiddle_factors(n1, n2, t, dtype)
+
+    def unpack(keys, refs):
+        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
+                for i, k in enumerate(keys)}
+
+    def kern(*refs):
+        if real:
+            (ar,), rest = refs[:1], refs[1:]
+            ai = None
+        else:
+            (ar, ai), rest = refs[:2], refs[2:]
+        ebr_r, ebi_r, ecr_r, eci_r = rest[:4]
+        crefs = rest[4: 4 + nc1 + len(consts2)]
+        outs = rest[4 + nc1 + len(consts2):]
+        if real:
+            out_r, out_i, nyq_r, nyq_i, scr_r, scr_i = outs
+        else:
+            out_r, out_i, scr_r, scr_i = outs
+        cd1 = unpack(keys1, crefs[:nc1])
+        cd2 = unpack(keys2, crefs[nc1:])
+        i = pl.program_id(1)
+
+        @pl.when(i < ph1)
+        def _stage1():
+            # column tile i: FFT each length-n1 column, twiddle, stash.
+            # Twiddle block synthesized from the factored tables via a
+            # one-hot lane select (Mosaic lowers neither 1-wide lane
+            # blocks nor dynamic width-1 lane slices).
+            yr, yi = _fft_axis0_traced(
+                ar[0], None if real else ai[0], n1, cd1, mode)
+            tbl_r = ecr_r[...]
+            tbl_i = eci_r[...]
+            lane = jax.lax.broadcasted_iota(jnp.int32, tbl_r.shape, 1)
+            sel = (lane == i).astype(tbl_r.dtype)
+            c_r = jnp.sum(tbl_r * sel, axis=1, keepdims=True)
+            c_i = jnp.sum(tbl_i * sel, axis=1, keepdims=True)
+            w_r = c_r * ebr_r[...] - c_i * ebi_r[...]
+            w_i = c_r * ebi_r[...] + c_i * ebr_r[...]
+            cr = yr * w_r - yi * w_i
+            ci = yr * w_i + yi * w_r
+            scr_r[i] = cr
+            scr_i[i] = ci
+            if real:
+                # the Nyquist epilogue needs C[k1=0, :]: emit it as a
+                # small second output, one (1, 1, t) tile per column step
+                nyq_r[0] = cr[0:1, :]
+                nyq_i[0] = ci[0:1, :]
+
+        @pl.when(i >= ph1)
+        def _stage2():
+            j = i - ph1
+            # line block (t, n2): rows [j*t, j*t+t) of the (n1, n2) C
+            # view = that row range of every scratch chunk
+            br = jnp.concatenate(
+                [scr_r[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
+            bi = jnp.concatenate(
+                [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
+            zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
+            if real:
+                out_r[0] = zr[:h]          # one-sided: k2 < n2/2
+                out_i[0] = zi[:h]
+            else:
+                out_r[0] = zr              # (n2, t)
+                out_i[0] = zi
+
+    def const_specs(arrs):
+        return [pl.BlockSpec(a.shape,
+                             (lambda nd: lambda b_, i: (0,) * nd)(a.ndim),
+                             memory_space=pltpu.VMEM) for a in arrs]
+
+    data_in = pl.BlockSpec((1, n1, t),
+                           lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
+                           memory_space=pltpu.VMEM)
+    out_rows = h if real else n2
+    data_out = pl.BlockSpec(
+        (1, out_rows, t),
+        lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
+        memory_space=pltpu.VMEM)
+    # the nyq output advances with the phase-1 column step; phase-2
+    # steps revisit early tiles without writing (ph2 <= ph1 always since
+    # n1 <= n2), which leaves their flushed content intact
+    nyq_out = pl.BlockSpec((1, 1, t),
+                           lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
+                           memory_space=pltpu.VMEM)
+    base = pl.BlockSpec((n1, t), lambda b_, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((n1, n2 // t), lambda b_, i: (0, 0),
+                       memory_space=pltpu.VMEM)
+
+    nin = 1 if real else 2
+    out_specs = [data_out, data_out]
+    if real:
+        out_specs += [nyq_out, nyq_out]
+
+    def run(b, ar, ai=None):
+        args = (ar,) if real else (ar, ai)
+        shapes = [jax.ShapeDtypeStruct((b, out_rows, n1), jnp.float32)] * 2
+        if real:
+            shapes += [jax.ShapeDtypeStruct((b, 1, n2), jnp.float32)] * 2
+        return pl.pallas_call(
+            kern, grid=(b, ph1 + ph2),
+            in_specs=[data_in] * nin + [base, base, col, col]
+            + const_specs(consts1) + const_specs(consts2),
+            out_specs=out_specs,
+            out_shape=shapes,
+            scratch_shapes=[pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=32 * b * n * max(1, n.bit_length() // 5),
+                bytes_accessed=4 * 2 * b * n * 2,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args, jnp.asarray(ebr), jnp.asarray(ebi), jnp.asarray(ecr),
+          jnp.asarray(eci), *[jnp.asarray(c) for c in consts1],
+          *[jnp.asarray(c) for c in consts2])
+
+    return run
+
+
+def _use_phased(n: int, bt: int, interpret: bool) -> bool:
+    """The phased one-call kernel serves bt == 1 shapes up to the VMEM
+    scratch ceiling; batch-folded small shapes and 2^23+ stay on the
+    two-call kernels."""
+    return bt == 1 and n <= _PHASED_MAX_N
+
+
 def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     """Forward unnormalized DFT via the multi-level fused kernels.
     Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
@@ -588,11 +751,16 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     for s in batch:
         b *= s
     n1, n2 = _pow2_split(n)
-    n1, n2, stage1, _, stage2, _ = _build_ml(n, str(xr.dtype), interpret,
-                                             _kernel_precision(),
-                                             _ml_batch_tile(b, n1, n2))
+    bt = _ml_batch_tile(b, n1, n2)
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
+    if _use_phased(n, bt, interpret):
+        run = _build_phased(n, str(xr.dtype), interpret,
+                            _kernel_precision())
+        yr, yi = run(b, ar, ai)
+        return yr.reshape(*batch, n), yi.reshape(*batch, n)
+    n1, n2, stage1, _, stage2, _ = _build_ml(n, str(xr.dtype), interpret,
+                                             _kernel_precision(), bt)
     cr, ci = stage1(b, ar, ai)
     yr, yi = stage2(b, cr, ci)
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
@@ -615,18 +783,27 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
     for s in batch:
         b *= s
     n1, n2 = _pow2_split(n)
-    n1, n2, _, stage1_real, _, stage2_half = _build_ml(
-        n, str(x.dtype), interpret, _kernel_precision(),
-        _ml_batch_tile(b, n1, n2))
-    cr, ci = stage1_real(b, x.reshape(b, n1, n2))
-    hr, hi = stage2_half(b, cr, ci)              # (b, n2//2, n1)
+    bt = _ml_batch_tile(b, n1, n2)
+    if _use_phased(n, bt, interpret):
+        run = _build_phased(n, str(x.dtype), interpret,
+                            _kernel_precision(), real=True)
+        hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))
+        c0r = c0r[:, 0, :]                       # (b, n2): C[k1=0, :]
+        c0i = c0i[:, 0, :]
+    else:
+        n1, n2, _, stage1_real, _, stage2_half = _build_ml(
+            n, str(x.dtype), interpret, _kernel_precision(), bt)
+        cr, ci = stage1_real(b, x.reshape(b, n1, n2))
+        hr, hi = stage2_half(b, cr, ci)          # (b, n2//2, n1)
+        c0r = cr[:, 0, :]
+        c0i = ci[:, 0, :]
     # Nyquist: X[n/2] = sum_j2 (-1)^j2 * C[k1=0, j2]
     signs = jnp.asarray(
         tables.custom(("altsign", n2, str(x.dtype)),
                       lambda: (np.where(np.arange(n2) % 2 == 0, 1.0, -1.0)
                                .astype(str(x.dtype)),))[0])
-    nr = jnp.sum(cr[:, 0, :] * signs, axis=-1)[:, None]
-    ni = jnp.sum(ci[:, 0, :] * signs, axis=-1)[:, None]
+    nr = jnp.sum(c0r * signs, axis=-1)[:, None]
+    ni = jnp.sum(c0i * signs, axis=-1)[:, None]
     yr = jnp.concatenate([hr.reshape(b, n // 2), nr], axis=-1)
     yi = jnp.concatenate([hi.reshape(b, n // 2), ni], axis=-1)
     return yr.reshape(*batch, n // 2 + 1), yi.reshape(*batch, n // 2 + 1)

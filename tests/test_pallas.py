@@ -246,3 +246,48 @@ def test_multilevel_large_n_traces(logn):
     assert tuple(out[0].shape) == (1, n)
     outr = jax.eval_shape(lambda a: fused_multilevel_rfft(a, n), sds)
     assert tuple(outr[0].shape) == (1, n // 2 + 1)
+
+
+def test_twocall_path_parity_interpret(rng):
+    """The two-call kernels (the n > 2^22 / batch-folded path, now that
+    bt == 1 shapes ride the phased one-call kernel) keep their oracle
+    parity, exercised via the stage functions directly."""
+    from kofft_tpu.ops.pallas_kernels import _build_ml, _pow2_split
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    z = rng.standard_normal((2, n)).astype(np.float32)
+    _, _, s1, s1r, s2, s2h = _build_ml(n, "float32", True, "highest", 1)
+    cr, ci = s1(2, x.reshape(2, n1, n2), z.reshape(2, n1, n2))
+    yr, yi = s2(2, cr, ci)
+    got = (np.asarray(yr).reshape(2, n)
+           + 1j * np.asarray(yi).reshape(2, n))
+    ref = np.fft.fft(x.astype(np.float64) + 1j * z.astype(np.float64))
+    assert snr_db(ref, got) > 100.0
+    # real-input stage 1 + one-sided stage 2
+    cr, ci = s1r(2, x.reshape(2, n1, n2))
+    hr, hi = s2h(2, cr, ci)
+    refr = np.fft.rfft(x.astype(np.float64))[..., : n // 2]
+    goth = (np.asarray(hr).reshape(2, n // 2)
+            + 1j * np.asarray(hi).reshape(2, n // 2))
+    assert snr_db(refr, goth) > 100.0
+
+
+def test_phased_vs_twocall_same_output(rng):
+    """The phased one-call kernel and the two-call kernels compute the
+    same transform (layout included)."""
+    from kofft_tpu.ops.pallas_kernels import (_build_ml, _build_phased,
+                                              _pow2_split)
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    x = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    z = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    run = _build_phased(n, "float32", True, "highest")
+    pr, pi = run(1, x, z)
+    _, _, s1, _, s2, _ = _build_ml(n, "float32", True, "highest", 1)
+    cr, ci = s1(1, x, z)
+    tr, ti = s2(1, cr, ci)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(tr),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(ti),
+                               rtol=1e-4, atol=1e-2)
