@@ -39,6 +39,12 @@ def main() -> None:
                                  timeit_chained_scalar)
     from kofft_tpu.ops.dft import snr_db
     from kofft_tpu.ops import window as W
+    from kofft_tpu.utils.observability import enable_compilation_cache
+
+    # the full sweep compiles ~40 executables; persist them so reruns
+    # (and the driver's fresh-process bench) start warm instead of
+    # re-paying ~10 min of XLA/Mosaic compile time
+    enable_compilation_cache()
 
     platform = jax.default_backend()
     rng = np.random.default_rng(0)

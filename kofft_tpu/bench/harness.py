@@ -71,15 +71,27 @@ def _differential(make_runner: Callable, operand, iters: int,
     # from a noise-floored slope can build a multi-second executable,
     # which the tunneled attachment's watchdog kills (observed as
     # worker-process crashes).
+    def _pow2(x: int) -> int:
+        # chain lengths quantized to powers of two: the chained
+        # executable's fori_loop trip count is part of its compile key,
+        # so a continuous auto-scaled delta would defeat the persistent
+        # compilation cache on every rerun (observed: ~10 min of
+        # recompiles per bench sweep). Quantization costs nothing
+        # methodologically — the slope only needs delta large enough.
+        return 1 << max(0, (int(x) - 1).bit_length())
+
+    _DELTA_CAP = 1 << 17          # pow2 cap (was 200k continuous)
     t_ub = t_n1 / n1
-    delta = int(max(1, iters, min(200_000, target_time / max(t_ub, 1e-9))))
+    delta = min(_DELTA_CAP,
+                _pow2(max(1, iters,
+                          min(_DELTA_CAP, target_time / max(t_ub, 1e-9)))))
     slope, t1 = measure(delta)
     for _ in range(4):
         fixed = max(t1 - n1 * slope, 0.0)
         credible = slope * delta >= max(8 * fixed, 0.05)
-        if credible or delta >= 200_000:
+        if credible or delta >= _DELTA_CAP:
             break
-        delta = int(min(200_000, delta * 8))
+        delta = min(_DELTA_CAP, _pow2(delta * 8))
         slope, t1 = measure(delta)
     global _LAST_MODE
     if slope <= 2e-9:
