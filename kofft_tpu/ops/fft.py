@@ -321,12 +321,15 @@ def _dispatch(x, n, axis, norm, inverse, backend):
         y = _fft_traced(x, m, inverse, norm, b)
     elif not complex_io_supported():
         # plane-transfer fallback: compute on device, return host numpy.
-        # The uploaded plane buffers are framework-owned temporaries, so
-        # they are donated — in-place spirit (fft.rs:494-554), halved
-        # peak HBM at large n.
+        # Donation applies only to host-numpy inputs, whose uploaded
+        # plane buffers are framework-owned temporaries (in-place spirit,
+        # fft.rs:494-554; halved peak HBM at large n). A real-valued
+        # jax.Array input would surface ITSELF as the re plane through
+        # _planes_of/split — donating would delete the caller's array.
         xr, xi = _planes_of(x)
+        donate = isinstance(x, _np.ndarray)
         yr, yi = _jitted_entry_pp(m, inverse, norm, b,
-                                  trace_key(), True)(xr, xi)
+                                  trace_key(), donate)(xr, xi)
         y = _np.asarray(yr) + 1j * _np.asarray(yi)
     elif isinstance(x, _np.ndarray) and _np.iscomplexobj(x):
         xr = _np.ascontiguousarray(x.real)

@@ -54,8 +54,10 @@ _SMALL_AXES_MAX_N = 256
 def _small_axes_zone(shape: tuple, axes: tuple) -> bool:
     """Shape class for the direct per-axis einsum method: >= 2 transform
     axes, each small enough for one dense DFT matmul. Covers the 128^3
-    class where the moveaxis round-trips of the generic path dominate."""
-    if len(axes) < 2:
+    class where the moveaxis round-trips of the generic path dominate.
+    Capped at 15 total dims (the einsum letter pool); beyond that the
+    generic per-axis path handles it."""
+    if len(axes) < 2 or len(shape) > 15:
         return False
     return all(2 <= shape[a] <= _SMALL_AXES_MAX_N for a in axes)
 

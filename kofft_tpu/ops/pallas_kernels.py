@@ -692,9 +692,11 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         (1, out_rows, t),
         lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
         memory_space=pltpu.VMEM)
-    # the nyq output advances with the phase-1 column step; phase-2
-    # steps revisit early tiles without writing (ph2 <= ph1 always since
-    # n1 <= n2), which leaves their flushed content intact
+    # the nyq output advances with the phase-1 column step; every
+    # phase-2 step pins to the LAST column tile (min(i, ph1-1)) without
+    # writing, so only that already-written tile is revisited and its
+    # content is flushed back unchanged — earlier tiles are never
+    # touched again
     nyq_out = pl.BlockSpec((1, 1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)

@@ -19,8 +19,12 @@ __all__ = ["hlo_all_to_all_local_bytes", "fft_sharded_expected_a2a_bytes",
 _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8,
                 "c128": 16, "s32": 4, "u32": 4}
 
-_A2A_DEF = re.compile(r"%all-to-all(?:\.\d+)?\s*=\s*(.*?)\s*all-to-all\(",
-                      re.DOTALL)
+# matches both the synchronous form (%all-to-all = ... all-to-all(...))
+# and the async pair's START op (%all-to-all-start = ...); -done ops are
+# excluded so async lowering is not double-counted
+_A2A_DEF = re.compile(
+    r"%all-to-all(?:-start)?(?:\.\d+)?\s*=\s*(.*?)\s*all-to-all(?:-start)?\(",
+    re.DOTALL)
 _SHAPE = re.compile(r"(f32|f64|bf16|f16|c64|c128|s32|u32)\[([\d,]*)\]")
 
 

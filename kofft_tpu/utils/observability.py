@@ -40,17 +40,25 @@ def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=()):
     import jax.numpy as jnp
     from .. import fft, ifft, fft_split, ifft_split, rfft_split
 
+    import numpy as np
+
     for n in sizes:
         z = jnp.zeros((*batch_shape, n), jnp.float32)
         jax.block_until_ready(fft_split(z, z))
         jax.block_until_ready(ifft_split(z, z))
-        # the complex-object path has its own jitted entry; skip it on
-        # transports that cannot move complex buffers
         from ..ops.fft import complex_io_supported
         if complex_io_supported():
+            # the complex-object path has its own jitted entry
             zc = jnp.zeros((*batch_shape, n), jnp.complex64)
             jax.block_until_ready(fft(zc))
             jax.block_until_ready(ifft(zc))
+        else:
+            # complex-IO-banned transports (axon): real eager calls route
+            # through the DONATING planes entry (host-numpy uploads are
+            # framework-owned) — warm that executable too, with numpy
+            # input so the dispatch takes the same path a user's will
+            zn = np.zeros((*batch_shape, n), np.float32)
+            ifft(np.asarray(fft(zn)))
     for n in rfft_sizes:
         z = jnp.zeros((*batch_shape, n), jnp.float32)
         jax.block_until_ready(rfft_split(z))

@@ -35,16 +35,21 @@ self.addEventListener("fetch", (event) => {
   if (url.pathname.startsWith("/api/") || url.pathname === "/health") {
     return;                                    // live endpoints: network only
   }
-  // stale-while-revalidate: serve cached shell instantly, refresh behind
+  // stale-while-revalidate: serve cached shell instantly, refresh behind.
+  // The refresh is registered with waitUntil so the browser keeps the
+  // worker alive until the background fetch AND cache.put complete —
+  // otherwise an idle-kill right after respondWith would abort the
+  // update and the shell would stay stale forever while online.
   event.respondWith(
     caches.match(req).then((hit) => {
-      const refresh = fetch(req).then((resp) => {
+      const refresh = fetch(req).then(async (resp) => {
         if (resp && resp.ok) {
-          const copy = resp.clone();
-          caches.open(CACHE).then((c) => c.put(req, copy));
+          const c = await caches.open(CACHE);
+          await c.put(req, resp.clone());
         }
         return resp;
       }).catch(() => hit);                     // offline: fall back to cache
+      event.waitUntil(refresh);
       return hit || refresh;
     }),
   );

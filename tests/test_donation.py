@@ -60,3 +60,23 @@ def test_ifft_split_donate_roundtrip(rng):
     assert yr.is_deleted() and yi.is_deleted()
     assert snr_db(x, np.asarray(br)) > 120.0
     assert snr_db(z, np.asarray(bi)) > 120.0
+
+
+def test_real_device_array_never_donated_via_fallback(rng, monkeypatch):
+    """Review finding: on complex-IO-banned transports the eager fft()
+    fallback donates its plane buffers — but a REAL-valued jax.Array
+    input surfaces itself as the re plane, so donating would delete the
+    caller's array. Only host-numpy inputs (framework-owned uploads) may
+    donate."""
+    import kofft_tpu.ops.fft as F
+    monkeypatch.setattr(F, "complex_io_supported", lambda: False)
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    y = kt.fft(x)
+    assert not x.is_deleted(), "caller's array was donated away"
+    ref = np.fft.fft(np.asarray(x).astype(np.complex128))
+    assert snr_db(ref, np.asarray(y)) > 100.0
+    # host numpy input still rides the donating entry and works
+    xn = rng.standard_normal(256).astype(np.float32)
+    y2 = kt.fft(xn)
+    assert snr_db(np.fft.fft(xn.astype(np.complex128)),
+                  np.asarray(y2)) > 100.0

@@ -291,3 +291,24 @@ def test_phased_vs_twocall_same_output(rng):
                                rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(pi), np.asarray(ti),
                                rtol=1e-4, atol=1e-2)
+
+
+def test_twocall_rfft_nyquist_parity_interpret(rng):
+    """The bt>1 (two-call) branch of fused_multilevel_rfft, INCLUDING
+    its Nyquist epilogue, matches numpy end-to-end — the phased branch
+    covers bt==1 shapes, so this pins the other branch's full one-sided
+    output (review finding: the epilogue row source was untested)."""
+    from kofft_tpu.ops.pallas_kernels import (_ml_batch_tile, _pow2_split,
+                                              fused_multilevel_rfft)
+    n = 1 << 14
+    b = 8
+    n1, n2 = _pow2_split(n)
+    assert _ml_batch_tile(b, n1, n2) > 1, "test must exercise bt > 1"
+    x = rng.standard_normal((b, n)).astype(np.float32)
+    yr, yi = fused_multilevel_rfft(x, n, interpret=True)
+    assert yr.shape == (b, n // 2 + 1)
+    ref = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 100.0
+    # the Nyquist bin specifically (the epilogue's alternating sum)
+    assert snr_db(ref[:, -1], got[:, -1]) > 100.0
