@@ -23,13 +23,17 @@ Measured design notes (v5e, 2^20 c32, chained-dependency timing)
 * Complex matmuls use the 3-multiply Gauss/Karatsuba form at HIGHEST
   precision: 18 MXU passes per level instead of 24, 288 -> 230 us end to
   end at unchanged SNR (135 dB vs f64).
-* r2 stage isolation corrected the r1 cost model: per stage (tile=128,
-  b=1) the time is ~52 us FIXED (the level reshapes' lane<->sublane
-  relayouts + grid overheads) plus only ~1.55 us per MXU pass
-  (s1: highest/18-pass 80.3 us, default/3-pass 57.1 us). The MXU is
-  nearly free; the four-step's relayouts dominate. The stage-2 (2,0,1)
-  block transpose alone is ~7 us (wrong-math structure probe 69.0 vs
-  76.4 us).
+* r2 stage decomposition (final, clean isolated probes): per grid step
+  (0.5 MB block) a stage costs ~7.6 us of leaf DOTS (dots-only kernel:
+  60.2 us/stage at HIGHEST), ~1.5 us of level-reshape/swap structure
+  (skeleton replica: 11.7 us/stage) and ~0.5 us of twiddle broadcast —
+  the stage is ~75% MXU-dot-bound. The dot cost is MAC-slot-bound at
+  effective k=128: kron-lifting leaves to k=128 with 4x fewer streamed
+  columns measures the SAME (63.6 vs 60.2 us, clean r2 re-probe) — the
+  r1 kron negative stands. Only precision cuts the dot floor
+  ('default'/3-pass: -23 us/stage at 47 dB). An earlier r2 monkeypatch
+  probe ("relayout-bound, 70.5 us without dots") did not survive
+  replication and is superseded by these numbers.
 * Composed two-stage transforms pay ~15-60 us over the isolated stage
   sum: intermediates BETWEEN pallas calls materialize for real even
   when chained-loop carries ride VMEM (see memory notes / experiment
