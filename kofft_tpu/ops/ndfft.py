@@ -172,9 +172,12 @@ def fftn_split(xr, xi, axes: Optional[Sequence[int]] = None,
 def _dispatch_nd(x, axes, inverse, backend):
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
     if host:
+        from ..config import x64_active
         x = np.asarray(x)
-        xr = np.ascontiguousarray(x.real).astype(np.float32)
-        xi = (np.ascontiguousarray(x.imag).astype(np.float32)
+        ft = (np.float64 if x.real.dtype == np.float64 and x64_active()
+              else np.float32)
+        xr = np.ascontiguousarray(x.real).astype(ft)
+        xi = (np.ascontiguousarray(x.imag).astype(ft)
               if np.iscomplexobj(x) else np.zeros_like(xr))
     else:
         x = jnp.asarray(x)

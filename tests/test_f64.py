@@ -98,3 +98,13 @@ def test_f64_downcast_without_x64(rng):
     y = np.asarray(kt.rfft(x))
     assert y.dtype == np.complex64
     assert snr_db(np.fft.rfft(x), y) > 100.0
+
+
+def test_fftn_f64_roundtrip(x64, rng):
+    x = (rng.standard_normal((32, 32))
+         + 1j * rng.standard_normal((32, 32)))
+    y = kt.fftn(x)
+    assert np.asarray(y).dtype == np.complex128
+    assert snr_db(np.fft.fftn(x), np.asarray(y)) > 250.0
+    back = np.asarray(kt.ifftn(y))
+    assert snr_db(x, back) > 250.0
