@@ -17,6 +17,21 @@ import jax.numpy as jnp
 from ..config import lax_precision
 
 
+def host_float(x):
+    """Coerce a HOST array to the working float dtype: f64 is preserved
+    when the x64 tier is active (``config.x64_active``: jax x64 on +
+    non-TPU backend), everything else lands on f32 — the single rule all
+    real-input transform entry points share (reference generic Float,
+    ``src/num.rs:5-29``)."""
+    import numpy as np
+
+    from ..config import x64_active
+    x = np.asarray(x)
+    ft = (np.float64 if x.dtype == np.float64 and x64_active()
+          else np.float32)
+    return x.astype(ft) if x.dtype != ft else x
+
+
 def split(x):
     """complex array -> (re, im) float planes. Real input gets zero imag."""
     if jnp.iscomplexobj(x):

@@ -26,6 +26,7 @@ from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
 from .dct import dct2
 from .fft import _fft_planes, _is_tracer, resolve_backend
+from ._complex import host_float
 
 __all__ = ["real_cepstrum", "mel_filterbank_matrix", "mel_filterbank", "mfcc"]
 
@@ -49,7 +50,7 @@ def real_cepstrum(x, backend: Optional[str] = None):
     """IFFT(log|FFT(x)| + 1e-12).real (reference ``real_cepstrum``,
     ``cepstrum.rs:12-33``)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "cepstrum input must be non-empty")
     b = resolve_backend(backend)
@@ -92,7 +93,7 @@ def mel_filterbank_matrix(n_mags: int, sample_rate: float,
 def mel_filterbank(fft_mags, sample_rate: float, num_filters: int):
     """Mel energies: one matmul against the cached filter matrix."""
     host = not isinstance(fft_mags, (jax.Array, jax.core.Tracer))
-    x = (np.asarray(fft_mags, dtype=np.float32) if host
+    x = (host_float(fft_mags) if host
          else jnp.asarray(fft_mags))
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "mel_filterbank input must be non-empty")

@@ -26,7 +26,7 @@ import numpy as np
 from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import next_pow2, tables
-from ._complex import cmul, merge
+from ._complex import cmul, merge, host_float
 from .fft import engine_fft_planes, _is_tracer, complex_io_supported
 
 __all__ = ["czt", "czt_fast", "czt_split"]
@@ -64,7 +64,7 @@ def _jit(n: int, m: int, w: complex, a: complex, ck: tuple = ()):
 def czt_split(x, m: int, w: complex, a: complex = 1.0 + 0j):
     """CZT returning (re, im) planes (traceable)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "czt input must be non-empty")
     require(m >= 1, InvalidValueError, f"m must be >= 1, got {m}")
@@ -142,7 +142,7 @@ def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
     require(abs(abs(w) - 1.0) < 1e-6, InvalidValueError,
             "czt_fast requires |w| == 1; use czt() for general w")
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     n = x.shape[-1]
     require(n >= 1 and m >= 1, EmptyInputError, "czt input must be non-empty")
     dtype = str(x.dtype) if not host else "float32"

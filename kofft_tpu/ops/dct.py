@@ -31,6 +31,7 @@ import numpy as np
 from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
+from ._complex import host_float
 
 __all__ = ["dct1", "dct2", "dct3", "dct4", "dct", "idct",
            "dct_batch", "dct_multi_channel"]
@@ -85,15 +86,8 @@ def _jit_apply(kind: int, n: int, dtype: str, cutoff: int, ck: tuple = ()):
 
 
 def _apply(kind: int, x):
-    from ..config import x64_active
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    if host:
-        x = np.asarray(x)
-        ft = (np.float64 if x.dtype == np.float64 and x64_active()
-              else np.float32)
-        x = x.astype(ft) if x.dtype != ft else x
-    else:
-        x = jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "DCT input must be non-empty")
     n = x.shape[-1]

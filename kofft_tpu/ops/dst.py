@@ -26,6 +26,7 @@ import numpy as np
 from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
+from ._complex import host_float
 
 __all__ = ["dst1", "dst2", "dst3", "dst4", "dst", "dst_batch",
            "dst_multi_channel"]
@@ -72,11 +73,11 @@ def _jit_apply(kind: int, n: int, dtype: str, cutoff: int, ck: tuple = ()):
 
 def _apply(kind: int, x):
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "DST input must be non-empty")
     n = x.shape[-1]
-    dtype = "float32" if host else str(x.dtype)
+    dtype = str(x.dtype)
     if isinstance(x, jax.core.Tracer):
         return _traced(kind, x, n, dtype)
     return _jit_apply(kind, n, dtype, FAST_CUTOFF,

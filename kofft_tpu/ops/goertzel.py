@@ -23,6 +23,7 @@ import numpy as np
 from ..config import lax_precision, trace_key
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
+from ._complex import host_float
 
 __all__ = ["goertzel", "goertzel_bins", "goertzel_scan"]
 
@@ -62,7 +63,7 @@ def _jit_bins(n: int, bins: tuple, dtype: str, ck: tuple = ()):
 def goertzel_bins(x, bins):
     """|X_k| for many integer bins at once (batched dot on the MXU)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "goertzel input must be non-empty")
     bins = tuple(int(b) for b in bins)
@@ -81,7 +82,7 @@ def goertzel(x, sample_rate: float, target_freq: float):
     """Magnitude at the bin nearest ``target_freq`` (reference
     ``goertzel_f32`` semantics incl. floor() bin selection)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    xa = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    xa = host_float(x) if host else jnp.asarray(x)
     _validate(xa, sample_rate)
     k = _bin_of(xa.shape[-1], sample_rate, target_freq)
     out = goertzel_bins(xa, (k,))
@@ -92,7 +93,7 @@ def goertzel_scan(x, sample_rate: float, target_freq: float):
     """Literal Goertzel recurrence via ``lax.scan`` (streaming-shaped;
     same rounding order as the reference's scalar loop)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    xa = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    xa = host_float(x) if host else jnp.asarray(x)
     _validate(xa, sample_rate)
     n = xa.shape[-1]
     k = _bin_of(n, sample_rate, target_freq)

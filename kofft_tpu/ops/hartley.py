@@ -17,6 +17,7 @@ import numpy as np
 
 from ..errors import EmptyInputError, require
 from .fft import _fft_planes, _is_tracer, resolve_backend
+from ._complex import host_float
 
 __all__ = ["dht", "dht_batch", "dht_multi_channel"]
 
@@ -36,7 +37,7 @@ def _jit(n: int, backend: str):
 def dht(x, backend: Optional[str] = None):
     """DHT along the last axis: X_k = sum_i x_i cas(2*pi*i*k/n)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "DHT input must be non-empty")
     b = resolve_backend(backend)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import EmptyInputError, require
-from ._complex import merge
+from ._complex import merge, host_float
 from .fft import _fft_planes, _is_tracer, complex_io_supported, resolve_backend
 
 __all__ = ["hilbert_analytic", "hilbert_analytic_split", "hilbert"]
@@ -54,7 +54,7 @@ def _jit(n: int, backend: str):
 def hilbert_analytic_split(x, backend: Optional[str] = None):
     """Analytic signal as (re, im) planes (traceable)."""
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
-    x = np.asarray(x, dtype=np.float32) if host else jnp.asarray(x)
+    x = host_float(x) if host else jnp.asarray(x)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "hilbert input must be non-empty")
     b = resolve_backend(backend)

@@ -108,3 +108,15 @@ def test_fftn_f64_roundtrip(x64, rng):
     assert snr_db(np.fft.fftn(x), np.asarray(y)) > 250.0
     back = np.asarray(kt.ifftn(y))
     assert snr_db(x, back) > 250.0
+
+
+def test_secondary_transforms_accept_f64(x64, rng):
+    """dst/dht/hilbert/czt keep f64 inputs under x64 (the shared
+    host_float rule); czt threads f64 into its chirp constants."""
+    x = rng.standard_normal(256)
+    assert np.asarray(kt.dst(x, type=2)).dtype == np.float64
+    assert np.asarray(kt.dht(x)).dtype == np.float64
+    yr, yi = kt.czt_split(x, 64, w=np.exp(-2j * np.pi / 256))
+    assert np.asarray(yr).dtype == np.float64
+    zs = np.asarray(kt.hilbert_analytic(x))
+    assert zs.dtype == np.complex128
