@@ -116,7 +116,8 @@ def test_secondary_transforms_accept_f64(x64, rng):
     x = rng.standard_normal(256)
     assert np.asarray(kt.dst(x, type=2)).dtype == np.float64
     assert np.asarray(kt.dht(x)).dtype == np.float64
-    yr, yi = kt.czt_split(x, 64, w=np.exp(-2j * np.pi / 256))
+    from kofft_tpu.ops.czt import czt_split
+    yr, yi = czt_split(x, 64, w=np.exp(-2j * np.pi / 256))
     assert np.asarray(yr).dtype == np.float64
     zs = np.asarray(kt.hilbert_analytic(x))
     assert zs.dtype == np.complex128
