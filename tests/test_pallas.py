@@ -312,3 +312,38 @@ def test_twocall_rfft_nyquist_parity_interpret(rng):
     assert snr_db(ref, got) > 100.0
     # the Nyquist bin specifically (the epilogue's alternating sum)
     assert snr_db(ref[:, -1], got[:, -1]) > 100.0
+
+
+def test_rdft_primitive_ad_rules_trace(rng):
+    """The one-sided rfft primitive's jvp/transpose/batching rules trace
+    with consistent shapes (r2 change: outputs are (..., n//2+1), the
+    transpose zero-pads the cotangent back to n). eval_shape runs the
+    rules without executing the TPU kernels, so a shape bug in any rule
+    fails here off-chip."""
+    from kofft_tpu.ops.pallas_fft import pallas_rfft_planes
+    n = 1 << 14
+    h = n // 2 + 1
+    x = jax.ShapeDtypeStruct((3, n), jnp.float32)
+    ct = [jax.ShapeDtypeStruct((3, h), jnp.float32)] * 2
+
+    out = jax.eval_shape(lambda a: pallas_rfft_planes(a, n), x)
+    assert tuple(out[0].shape) == (3, h) and tuple(out[1].shape) == (3, h)
+
+    # jvp: tangent output shapes match primal
+    o, to = jax.eval_shape(
+        lambda a, da: jax.jvp(lambda v: pallas_rfft_planes(v, n),
+                              (a,), (da,)), x, x)
+    assert tuple(to[0].shape) == (3, h)
+
+    # vjp/transpose: cotangent of the one-sided planes -> input shape
+    def vjp_shape(a, c):
+        _, pull = jax.vjp(lambda v: pallas_rfft_planes(v, n), a)
+        return pull(c)
+    (xbar,) = jax.eval_shape(vjp_shape, x, ct)
+    assert tuple(xbar.shape) == (3, n)
+
+    # batching: vmap over a new leading dim
+    vx = jax.ShapeDtypeStruct((5, 3, n), jnp.float32)
+    vout = jax.eval_shape(
+        jax.vmap(lambda a: pallas_rfft_planes(a, n)), vx)
+    assert tuple(vout[0].shape) == (5, 3, h)
