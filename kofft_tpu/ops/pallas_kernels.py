@@ -596,7 +596,14 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 
 # phased scratch holds both C planes in VMEM: 2*n*4 bytes. Above 2^22
 # (32 MB) the margin over the v5e budget thins against blocks + consts;
-# larger sizes stay on the two-call kernels.
+# larger sizes stay on the two-call kernels. (2^22 A/B: phased 800.2 us
+# vs two-call 826.5 — phased still wins at the cap.)
+#
+# Public-path note: kt.fft_split measures ~156.9 us at 2^20 vs 136.9
+# for the raw kernel on (b, n1, n2) operands; the ~20 us is the XLA
+# layout copy between the flat (b, n) API planes and the kernel's tiled
+# (n1, n2) view (measured: raw kernel behind flat reshapes = 156.4 —
+# the primitive/jit layers add nothing). Inherent to the flat contract.
 _PHASED_MAX_N = 1 << 22
 
 
