@@ -20,9 +20,20 @@ _apply_platform_override()
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2:
-        print("usage: spectrogram_example.py <input.wav> <output.png> "
-              "[win_len]", file=sys.stderr)
-        return 2
+        # self-demo (CI smoke mode): synthesize the 440 Hz tone the
+        # golden-parity test uses and render it to a temp PNG
+        import tempfile
+
+        import numpy as np
+
+        from kofft_tpu.utils.audio import write_wav
+        sr = 16000
+        t = np.arange(sr, dtype=np.float64) / sr
+        tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+        tmp = Path(tempfile.mkdtemp(prefix="kofft_spec_demo_"))
+        write_wav(tmp / "tone.wav", tone, sr)
+        argv = [str(tmp / "tone.wav"), str(tmp / "tone.png")]
+        print(f"no args: demo render -> {argv[1]}", file=sys.stderr)
     inp, outp = Path(argv[0]), Path(argv[1])
     win_len = int(argv[2]) if len(argv) > 2 else 1024
     samples, _sr = read_audio(inp)
