@@ -604,6 +604,10 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 # layout copy between the flat (b, n) API planes and the kernel's tiled
 # (n1, n2) view (measured: raw kernel behind flat reshapes = 156.4 —
 # the primitive/jit layers add nothing). Inherent to the flat contract.
+# The raw phased RFFT kernel is 122.0 us — decisively faster than the
+# complex kernel (136.9), the reference relationship (realfft faster
+# than complex, benchmarks/README.md:68-72); public rfft_split lands at
+# ~164 because the one-sided flat assembly adds its own layout copies.
 _PHASED_MAX_N = 1 << 22
 
 
