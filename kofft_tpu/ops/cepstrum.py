@@ -25,24 +25,30 @@ from ..config import lax_precision
 from ..errors import EmptyInputError, InvalidValueError, require
 from ..plan import tables
 from .dct import dct2
-from .fft import _fft_planes, _is_tracer, resolve_backend
+from ..config import trace_key
+from .fft import _is_tracer, engine_fft_planes, resolve_backend
 from ._complex import host_float
 
 __all__ = ["real_cepstrum", "mel_filterbank_matrix", "mel_filterbank", "mfcc"]
 
 
 def _cepstrum_traced(x, backend: str):
+    # unified engine ladder: both FFT passes ride the fused Pallas
+    # kernels at large pow2 n
     n = x.shape[-1]
     dtype = str(x.dtype)
-    yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
+    yr, yi = engine_fft_planes(x, jnp.zeros_like(x), n, False, dtype,
+                               backend)
     logmag = jnp.log(jnp.sqrt(yr * yr + yi * yi) + 1e-12)
-    zr, _ = _fft_planes(logmag, jnp.zeros_like(logmag), n, True, backend,
-                        dtype)
+    zr, _ = engine_fft_planes(logmag, jnp.zeros_like(logmag), n, True,
+                              dtype, backend)
     return zr / n
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_cepstrum(n: int, backend: str):
+def _jit_cepstrum(n: int, backend: str, ck: tuple = ()):
+    """``ck`` carries config.trace_key() so runtime setters invalidate
+    warm entries."""
     return jax.jit(functools.partial(_cepstrum_traced, backend=backend))
 
 
@@ -54,10 +60,9 @@ def real_cepstrum(x, backend: Optional[str] = None):
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "cepstrum input must be non-empty")
     b = resolve_backend(backend)
-    b = "xla" if b in ("jnpfft", "pallas") else b
     if _is_tracer(x):
         return _cepstrum_traced(x, b)
-    return _jit_cepstrum(x.shape[-1], b)(x)
+    return _jit_cepstrum(x.shape[-1], b, trace_key())(x)
 
 
 def mel_filterbank_matrix(n_mags: int, sample_rate: float,

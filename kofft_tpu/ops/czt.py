@@ -78,11 +78,12 @@ def czt_split(x, m: int, w: complex, a: complex = 1.0 + 0j):
 def czt(x, m: int, w: complex, a: complex = 1.0 + 0j):
     """CZT of a real signal at m bins (reference ``czt_f32``,
     ``czt.rs:16-54``)."""
-    host = not isinstance(x, (jax.Array, jax.core.Tracer))
     yr, yi = czt_split(x, m, w, a)
     if _is_tracer(yr):
         return merge(yr, yi)
-    if host and not complex_io_supported():
+    if not complex_io_supported():
+        # complex-IO-banned transport: host numpy for any residency (a
+        # device complex array would be unusable there)
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)
 
@@ -151,6 +152,7 @@ def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
     if _is_tracer(x):
         return merge(*traced(x))
     yr, yi = jitted(x)
-    if host and not complex_io_supported():
+    if not complex_io_supported():
+        # banned transport: host numpy for any residency
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)

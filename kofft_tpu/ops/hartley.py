@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import trace_key
 from ..errors import EmptyInputError, require
-from .fft import _fft_planes, _is_tracer, resolve_backend
+from .fft import _is_tracer, engine_fft_planes, resolve_backend
 from ._complex import host_float
 
 __all__ = ["dht", "dht_batch", "dht_multi_channel"]
@@ -24,13 +25,18 @@ __all__ = ["dht", "dht_batch", "dht_multi_channel"]
 
 def _dht_traced(x, backend: str):
     n = x.shape[-1]
-    yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend,
-                         str(x.dtype))
+    # the unified engine ladder: large pow2 rides the fused Pallas
+    # kernels, mid-size batched the jnp.fft zone, everything else the
+    # matmul tree — the DHT composite inherits every engine for free
+    yr, yi = engine_fft_planes(x, jnp.zeros_like(x), n, False,
+                               str(x.dtype), backend)
     return yr - yi
 
 
 @functools.lru_cache(maxsize=None)
-def _jit(n: int, backend: str):
+def _jit(n: int, backend: str, ck: tuple = ()):
+    """``ck`` carries config.trace_key() so runtime setters invalidate
+    warm entries (the discipline every jitted entry follows)."""
     return jax.jit(functools.partial(_dht_traced, backend=backend))
 
 
@@ -41,10 +47,9 @@ def dht(x, backend: Optional[str] = None):
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "DHT input must be non-empty")
     b = resolve_backend(backend)
-    b = "xla" if b in ("jnpfft", "pallas") else b
     if _is_tracer(x):
         return _dht_traced(x, b)
-    return _jit(x.shape[-1], b)(x)
+    return _jit(x.shape[-1], b, trace_key())(x)
 
 
 def dht_batch(xs, backend: Optional[str] = None):

@@ -16,9 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import trace_key
 from ..errors import EmptyInputError, require
 from ._complex import merge, host_float
-from .fft import _fft_planes, _is_tracer, complex_io_supported, resolve_backend
+from .fft import (_is_tracer, complex_io_supported, engine_fft_planes,
+                  resolve_backend)
 
 __all__ = ["hilbert_analytic", "hilbert_analytic_split", "hilbert"]
 
@@ -37,17 +39,22 @@ def _sideband_mask(n: int) -> np.ndarray:
 
 
 def _analytic_planes(x, backend: str):
+    # unified engine ladder: the FFT->mask->IFFT composite rides the
+    # fused Pallas kernels at large pow2 n like the core transforms
     n = x.shape[-1]
     dtype = str(x.dtype)
-    yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
+    yr, yi = engine_fft_planes(x, jnp.zeros_like(x), n, False, dtype,
+                               backend)
     g = _sideband_mask(n)
     yr, yi = yr * g, yi * g
-    zr, zi = _fft_planes(yr, yi, n, True, backend, dtype)
+    zr, zi = engine_fft_planes(yr, yi, n, True, dtype, backend)
     return zr / n, zi / n
 
 
 @functools.lru_cache(maxsize=None)
-def _jit(n: int, backend: str):
+def _jit(n: int, backend: str, ck: tuple = ()):
+    """``ck`` carries config.trace_key() so runtime setters invalidate
+    warm entries."""
     return jax.jit(functools.partial(_analytic_planes, backend=backend))
 
 
@@ -58,19 +65,22 @@ def hilbert_analytic_split(x, backend: Optional[str] = None):
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
             "hilbert input must be non-empty")
     b = resolve_backend(backend)
-    b = "xla" if b in ("jnpfft", "pallas") else b
     if _is_tracer(x):
         return _analytic_planes(x, b)
-    return _jit(x.shape[-1], b)(x)
+    return _jit(x.shape[-1], b, trace_key())(x)
 
 
 def hilbert_analytic(x, backend: Optional[str] = None):
-    """Analytic signal: x + i*H[x] (reference ``hilbert_analytic``)."""
-    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    """Analytic signal: x + i*H[x] (reference ``hilbert_analytic``).
+
+    On transports that cannot move or re-feed complex buffers, the
+    result is host numpy for ANY input residency — an eagerly merged
+    device complex array would be unusable there (not downloadable and
+    not re-feedable; use the ``_split`` variant to stay on device)."""
     zr, zi = hilbert_analytic_split(x, backend=backend)
     if _is_tracer(zr):
         return merge(zr, zi)
-    if host and not complex_io_supported():
+    if not complex_io_supported():
         return np.asarray(zr) + 1j * np.asarray(zi)
     return merge(zr, zi)
 

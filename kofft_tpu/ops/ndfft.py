@@ -194,7 +194,9 @@ def _dispatch_nd(x, axes, inverse, backend):
         yr, yi = _fftn_planes(xr, xi, axes, inverse, b)
         return merge(yr, yi)
     yr, yi = _jit_fftn(xr.shape, axes, inverse, b, trace_key())(xr, xi)
-    if host and not complex_io_supported():
+    if not complex_io_supported():
+        # banned transport: host numpy for any residency (a device
+        # complex array would be neither downloadable nor re-feedable)
         return np.asarray(yr) + 1j * np.asarray(yi)
     return merge(yr, yi)
 

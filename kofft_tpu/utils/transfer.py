@@ -23,6 +23,20 @@ def asnumpy(x) -> np.ndarray:
     try:
         return np.asarray(x)
     except jax.errors.JaxRuntimeError:
+        pass
+    try:
+        # transports that refuse the direct complex transfer but can
+        # still feed the array to a splitting executable
         re = np.asarray(jnp.real(x))
         im = np.asarray(jnp.imag(x))
         return re + 1j * im
+    except jax.errors.JaxRuntimeError as e:
+        # transports that can neither transfer NOR re-feed complex
+        # buffers (tunneled single-chip attachments): the array is
+        # unrecoverable once materialized on device. The library's own
+        # APIs avoid creating such arrays there (they return host numpy
+        # or planes); this arises only from user-built complex values.
+        raise RuntimeError(
+            "this transport can neither transfer nor re-feed complex "
+            "device arrays; keep complex data as (re, im) planes (the "
+            "*_split APIs) on this platform") from e
