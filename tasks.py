@@ -76,6 +76,33 @@ def cmd_sanity(args) -> int:
     return rc
 
 
+def cmd_web(args) -> int:
+    """Serve the streaming spectrogram app (reference ``xtask
+    web-spectrogram``, ``xtask/src/main.rs``)."""
+    from kofft_tpu.web.server import make_server
+    srv = make_server(args.port)
+    host, port = srv.server_address[:2]
+    print(f"spectrogram app on http://{host}:{port} (ctrl-c to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+    return 0
+
+
+def cmd_examples(_args) -> int:
+    """Run every example (smoke; the CI examples job's local twin)."""
+    import subprocess
+    rc = 0
+    for ex in sorted((REPO / "examples").glob("*.py")):
+        print(f"== {ex.name}")
+        r = subprocess.run([sys.executable, str(ex)])
+        rc = rc or r.returncode
+    return rc
+
+
 def cmd_update_bench_readme(_args) -> int:
     """Regenerate the benchmark table in benchmarks/README.md from
     latest.json (reference update_bench_readme.rs:33-82)."""
@@ -118,10 +145,14 @@ def main(argv=None) -> int:
     s = sub.add_parser("sanity")
     s.add_argument("--out", default=None)
     sub.add_parser("update-bench-readme")
+    w = sub.add_parser("web")
+    w.add_argument("--port", type=int, default=3000)
+    sub.add_parser("examples")
     args = p.parse_args(argv)
     return {"info": cmd_info, "test": cmd_test, "bench": cmd_bench,
             "lint": cmd_lint, "sanity": cmd_sanity,
-            "update-bench-readme": cmd_update_bench_readme}[args.cmd](args)
+            "update-bench-readme": cmd_update_bench_readme,
+            "web": cmd_web, "examples": cmd_examples}[args.cmd](args)
 
 
 if __name__ == "__main__":
