@@ -17,18 +17,27 @@ import jax.numpy as jnp
 from ..config import lax_precision
 
 
-def host_float(x):
-    """Coerce a HOST array to the working float dtype: f64 is preserved
-    when the x64 tier is active (``config.x64_active``: jax x64 on +
-    non-TPU backend), everything else lands on f32 — the single rule all
-    real-input transform entry points share (reference generic Float,
-    ``src/num.rs:5-29``)."""
+def host_float_dtype(dtype):
+    """The working float dtype for a host input of ``dtype``: f64 is
+    preserved when the x64 tier is active (``config.x64_active``: jax
+    x64 on + non-TPU backend), everything else lands on f32 — the
+    single policy every transform entry point shares (reference generic
+    Float, ``src/num.rs:5-29``). Complex-input sites apply it to the
+    component dtype (``x.real.dtype``)."""
     import numpy as np
 
     from ..config import x64_active
+    return (np.float64 if np.dtype(dtype) == np.float64 and x64_active()
+            else np.float32)
+
+
+def host_float(x):
+    """Coerce a HOST array to the working float dtype (see
+    :func:`host_float_dtype`)."""
+    import numpy as np
+
     x = np.asarray(x)
-    ft = (np.float64 if x.dtype == np.float64 and x64_active()
-          else np.float32)
+    ft = host_float_dtype(x.dtype)
     return x.astype(ft) if x.dtype != ft else x
 
 

@@ -146,7 +146,7 @@ def czt_fast(x, m: int, w: complex, a: complex = 1.0 + 0j,
     x = host_float(x) if host else jnp.asarray(x)
     n = x.shape[-1]
     require(n >= 1 and m >= 1, EmptyInputError, "czt input must be non-empty")
-    dtype = str(x.dtype) if not host else "float32"
+    dtype = str(x.dtype)    # host_float already resolved the f64 tier
     traced, jitted = _czt_fast_fn(n, m, w, a, dtype, backend or "auto",
                                   trace_key())
     if _is_tracer(x):

@@ -298,16 +298,14 @@ def _planes_of(x):
     transfers. f64 planes are preserved when the x64 tier is active
     (``config.x64_active``: jax x64 on + non-TPU backend); otherwise f64
     downcasts to f32 — the documented TPU contract."""
-    from ..config import x64_active
+    from ._complex import host_float_dtype
     if isinstance(x, _np.ndarray):
         if _np.iscomplexobj(x):
-            re = _np.ascontiguousarray(x.real)
-            im = _np.ascontiguousarray(x.imag)
-            if re.dtype == _np.float64 and not x64_active():
-                re, im = re.astype(_np.float32), im.astype(_np.float32)
+            ft = host_float_dtype(x.real.dtype)
+            re = _np.ascontiguousarray(x.real).astype(ft, copy=False)
+            im = _np.ascontiguousarray(x.imag).astype(ft, copy=False)
             return re, im
-        re = (x.astype(_np.float32)
-              if x.dtype == _np.float64 and not x64_active() else x)
+        re = x.astype(host_float_dtype(x.dtype), copy=False)
         return re, _np.zeros_like(re)
     return split(x)
 

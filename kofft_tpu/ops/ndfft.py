@@ -172,10 +172,9 @@ def fftn_split(xr, xi, axes: Optional[Sequence[int]] = None,
 def _dispatch_nd(x, axes, inverse, backend):
     host = not isinstance(x, (jax.Array, jax.core.Tracer))
     if host:
-        from ..config import x64_active
+        from ._complex import host_float_dtype
         x = np.asarray(x)
-        ft = (np.float64 if x.real.dtype == np.float64 and x64_active()
-              else np.float32)
+        ft = host_float_dtype(x.real.dtype)
         xr = np.ascontiguousarray(x.real).astype(ft)
         xi = (np.ascontiguousarray(x.imag).astype(ft)
               if np.iscomplexobj(x) else np.zeros_like(xr))

@@ -741,8 +741,10 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                 flops=32 * b * n * max(1, n.bit_length() // 5),
                 bytes_accessed=4 * 2 * b * n * 2,
                 transcendentals=0),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+            # interpret mode (CPU tests) never passes TPU compiler
+            # params — same policy as _ml_compiler_kwargs
+            **({} if interpret else {"compiler_params":
+                pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}),
             interpret=interpret,
         )(*args, jnp.asarray(ebr), jnp.asarray(ebi), jnp.asarray(ecr),
           jnp.asarray(eci), *[jnp.asarray(c) for c in consts1],
@@ -751,7 +753,7 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     return run
 
 
-def _use_phased(n: int, bt: int, interpret: bool) -> bool:
+def _use_phased(n: int, bt: int) -> bool:
     """The phased one-call kernel serves bt == 1 shapes up to the VMEM
     scratch ceiling; batch-folded small shapes and 2^23+ stay on the
     two-call kernels."""
@@ -771,7 +773,7 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     bt = _ml_batch_tile(b, n1, n2)
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
-    if _use_phased(n, bt, interpret):
+    if _use_phased(n, bt):
         run = _build_phased(n, str(xr.dtype), interpret,
                             _kernel_precision())
         yr, yi = run(b, ar, ai)
@@ -801,7 +803,7 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
-    if _use_phased(n, bt, interpret):
+    if _use_phased(n, bt):
         run = _build_phased(n, str(x.dtype), interpret,
                             _kernel_precision(), real=True)
         hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import trace_key, x64_active as _x64_active
+from ..config import trace_key
 from ..errors import (EmptyInputError, InvalidValueError,
                       MismatchedLengthsError, require)
 from ._complex import merge, split
@@ -151,8 +151,9 @@ def _prep_real(x, n: Optional[int], axis: int):
     require(not (host and np.iscomplexobj(x)) and
             not (not host and jnp.iscomplexobj(x)),
             InvalidValueError, "rfft input must be real")
-    if host and x.dtype == np.float64 and not _x64_active():
-        x = x.astype(np.float32)
+    if host:
+        from ._complex import host_float
+        x = host_float(x)
     ax = axis if axis >= 0 else x.ndim + axis
     require(0 <= ax < x.ndim, InvalidValueError,
             f"axis {axis} out of range for ndim {x.ndim}")
@@ -218,8 +219,8 @@ def irfft(y, n: Optional[int] = None, axis: int = -1,
     elif k > want:
         y = y[..., :want]
     if host:
-        ft = np.float64 if (_x64_active()
-                            and y.real.dtype == np.float64) else np.float32
+        from ._complex import host_float_dtype
+        ft = host_float_dtype(y.real.dtype)
         yr = np.ascontiguousarray(y.real).astype(ft)
         yi = np.ascontiguousarray(y.imag).astype(ft)
     else:

@@ -55,11 +55,8 @@ def _frame_indices(n_frames: int, win: int, hop: int) -> np.ndarray:
 
 
 def _window_const(window) -> np.ndarray:
-    from ..config import x64_active
-    w = np.asarray(window)
-    ft = (np.float64 if w.dtype == np.float64 and x64_active()
-          else np.float32)
-    w = w.astype(ft) if w.dtype != ft else w
+    from ._complex import host_float
+    w = host_float(window)
     require(w.ndim == 1 and w.size >= 1, EmptyInputError,
             "window must be a non-empty 1-D array")
     return w
@@ -212,11 +209,8 @@ def stft(signal, window, hop: int, onesided: bool = False,
     w = _window_const(window)
     host = not isinstance(signal, (jax.Array, jax.core.Tracer))
     if host:
-        from ..config import x64_active
-        x = np.asarray(signal)
-        ft = (np.float64 if x.dtype == np.float64 and x64_active()
-              else np.float32)
-        x = x.astype(ft) if x.dtype != ft else x
+        from ._complex import host_float
+        x = host_float(signal)
     else:
         x = jnp.asarray(signal)
     require(x.ndim >= 1 and x.shape[-1] >= 1, EmptyInputError,
@@ -253,9 +247,8 @@ def istft(frames, window, hop: int, length: Optional[int] = None,
         fr, fi = split(f)
         return _istft_planes(fr, fi, w, hop, length, b)
     if host:
-        from ..config import x64_active
-        ft = (np.float64 if f.real.dtype == np.float64 and x64_active()
-              else np.float32)
+        from ._complex import host_float_dtype
+        ft = host_float_dtype(f.real.dtype)
         fr = np.ascontiguousarray(f.real).astype(ft)
         fi = np.ascontiguousarray(f.imag).astype(ft)
     else:

@@ -32,18 +32,25 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
     """Total local bytes participating in ``all-to-all`` ops in a
     compiled (post-SPMD) HLO module, per chip.
 
-    Works on both forms XLA emits: a single tiled array result, or the
-    tuple-of-chunks decomposition (one operand per peer) — in either
-    case the result shapes sum to the full local shard that the op
-    redistributes."""
+    Handles the forms XLA emits: a single tiled array result, the
+    tuple-of-chunks decomposition (one operand per peer) — where the
+    result shapes sum to the full local shard — and the async pair's
+    START op, whose result type lists the aliased operand buffers AND
+    the result buffers (plus s32 control scalars): there the float
+    shapes are summed and halved so the shard is not double-counted."""
     total = 0
     for m in _A2A_DEF.finditer(compiled_text):
+        is_start = "-start" in m.group(0)
+        op_bytes = 0
         for dt, dims in _SHAPE.findall(m.group(1)):
+            if dt in ("s32", "u32"):
+                continue               # async control scalars
             elems = 1
             for d in dims.split(","):
                 if d:
                     elems *= int(d)
-            total += elems * _DTYPE_BYTES[dt]
+            op_bytes += elems * _DTYPE_BYTES[dt]
+        total += op_bytes // 2 if is_start else op_bytes
     return total
 
 

@@ -48,7 +48,10 @@ self.addEventListener("fetch", (event) => {
           await c.put(req, resp.clone());
         }
         return resp;
-      }).catch(() => hit);                     // offline: fall back to cache
+        // offline: fall back to the cache hit; on a cache MISS resolve
+        // to a network-error Response (undefined would make respondWith
+        // throw "Failed to convert value to Response")
+      }).catch(() => hit || Response.error());
       event.waitUntil(refresh);
       return hit || refresh;
     }),

@@ -108,15 +108,22 @@ def test_service_worker_served(server):
 
 
 def test_service_worker_shell_entries_resolvable(server):
-    """Every precache SHELL entry in sw.js must actually be servable —
-    a rename that breaks offline caching fails here."""
+    """Every precache SHELL entry in sw.js must actually be servable AS
+    ITSELF — the SPA fallback answers 200 (index.html) for any path, so
+    status alone proves nothing; a renamed asset must fail here, not
+    silently precache index.html under the wrong URL."""
     import re
+    _, _, index_body = _get(server + "/index.html")
     _, _, body = _get(server + "/sw.js")
     entries = re.findall(r'"\./([^"]*)"', body.decode())
     assert entries, "sw.js must declare precache shell entries"
     for e in entries:
-        status, _, _ = _get(server + "/" + e)
+        status, headers, ebody = _get(server + "/" + e)
         assert status == 200, f"shell entry {e!r} not servable"
+        if e not in ("", "index.html"):
+            assert ebody != index_body, (
+                f"shell entry {e!r} resolved to the SPA index fallback — "
+                f"the real asset is missing")
 
 
 def test_service_worker_never_caches_api():
