@@ -41,7 +41,8 @@ from .fft import (_fft_planes, _is_tracer, complex_io_supported,
 from .rfft import _rfft_planes
 
 __all__ = ["stft", "istft", "stft_split", "istft_split", "frame_split",
-           "inverse_frame_split", "StftStream", "IstftStream", "num_frames"]
+           "inverse_frame_split", "StftStream", "IstftStream",
+           "istft_stream_scan", "num_frames"]
 
 
 def num_frames(n: int, hop: int) -> int:
@@ -360,6 +361,58 @@ class StftStream:
             if f is None:
                 return
             yield f
+
+
+def istft_stream_scan(fr, fi, window, hop: int,
+                      backend: Optional[str] = None):
+    """Device-side streaming ISTFT: ONE ``lax.scan`` over the frame axis
+    carrying the rolling overlap-add (buf, norm) state — the
+    scan-friendly form of :class:`IstftStream` (SURVEY §7's "streaming
+    ISTFT state on device" hard part). Emits exactly what F
+    successive ``push_frame`` calls followed by ``flush`` emit — F*hop streamed
+    samples plus the ``win-hop`` tail, concatenated — but the whole
+    stream runs in a single executable (no per-frame launch cost) and
+    the function is traceable/jit/AD-composable.
+
+    ``fr, fi``: (F, win) frame spectrum planes. Returns a
+    (F*hop + max(0, win-hop),) real signal."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w_np = _window_const(window)
+    win = w_np.shape[0]
+    fr = jnp.asarray(fr)
+    fi = jnp.asarray(fi)
+    require(fr.ndim == 2 and fr.shape == fi.shape, MismatchedLengthsError,
+            "istft_stream_scan takes (F, win) planes")
+    require(fr.shape[-1] == win, MismatchedLengthsError,
+            f"frame length {fr.shape[-1]} != window length {win}")
+    b = _resolve_planes_backend(backend)
+    w = jnp.asarray(w_np)
+    dtype = str(fr.dtype)
+
+    def step(carry, f):
+        buf, norm = carry
+        tr, _ = _fft_planes(f[0], f[1], win, True, b, dtype)
+        y = (tr / win) * w
+        buf = buf + y
+        norm = norm + (w * w)
+        out = jnp.where(norm[:hop] > 1e-8,
+                        buf[:hop] / jnp.where(norm[:hop] > 1e-8,
+                                              norm[:hop], 1.0),
+                        buf[:hop])
+        buf = jnp.concatenate([buf[hop:], jnp.zeros(hop, buf.dtype)])
+        norm = jnp.concatenate([norm[hop:], jnp.zeros(hop, norm.dtype)])
+        return (buf, norm), out
+
+    init = (jnp.zeros(win, w.dtype), jnp.zeros(win, w.dtype))
+    (buf, norm), outs = jax.lax.scan(step, init, (fr, fi))
+    stream = outs.reshape(-1)
+    tail_n = win - hop
+    if tail_n <= 0:
+        return stream
+    tb = buf[:tail_n]
+    tn = norm[:tail_n]
+    tail = jnp.where(tn > 1e-8, tb / jnp.where(tn > 1e-8, tn, 1.0), tb)
+    return jnp.concatenate([stream, tail])
 
 
 class IstftStream:

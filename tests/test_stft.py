@@ -146,3 +146,33 @@ def test_bad_hop_raises():
 def test_istft_frame_window_mismatch_raises():
     with pytest.raises(kt.KofftError):
         S.istft(np.zeros((4, 32), np.complex64), W.hann(16), 8)
+
+
+def test_istft_stream_scan_matches_push_flush(rng):
+    """The scan-based device-side streaming ISTFT emits EXACTLY what the
+    push/flush streaming class emits (SURVEY §7's scan-friendly carried
+    OLA state), and is jittable as one executable."""
+    import jax
+    from kofft_tpu.ops.stft import IstftStream, istft_stream_scan
+    win, hop, nf = 64, 16, 12
+    x = rng.standard_normal(nf * hop + win).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x[: nf * hop], w, hop))[:nf]
+    fr = np.ascontiguousarray(frames.real)
+    fi = np.ascontiguousarray(frames.imag)
+
+    st = IstftStream(win, hop, w)
+    pushed = [st.push_frame(fr[k], fi[k]) for k in range(nf)]
+    ref = np.concatenate(pushed + [st.flush()])
+
+    got = np.asarray(istft_stream_scan(fr, fi, w, hop))
+    assert got.shape == ref.shape
+    # f32 accumulation order differs between the scan and per-call jits;
+    # near-zero window norms amplify that to ~2e-5 at the chunk edges
+    assert snr_db(ref, got) > 90.0
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    # jit-composability: same result under jit
+    got2 = np.asarray(jax.jit(
+        lambda a, b: istft_stream_scan(a, b, w, hop))(fr, fi))
+    assert snr_db(ref, got2) > 90.0
