@@ -372,7 +372,11 @@ def istft_stream_scan(fr, fi, window, hop: int,
     successive ``push_frame`` calls followed by ``flush`` emit — F*hop streamed
     samples plus the ``win-hop`` tail, concatenated — but the whole
     stream runs in a single executable (no per-frame launch cost) and
-    the function is traceable/jit/AD-composable.
+    the function is traceable/jit/AD-composable. Measured (v5e, 512
+    frames of win=1024/hop=256): 1.19 ms total = 2.3 us/frame, vs
+    ~24 ms/frame launch cost for per-frame pushes over a tunneled
+    attachment — use the class only for genuine real-time chunk
+    arrival.
 
     ``fr, fi``: (F, win) frame spectrum planes. Returns a
     (F*hop + max(0, win-hop),) real signal."""
