@@ -217,12 +217,21 @@ def run_history(records: list[BenchRecord],
             # change_vs_prev unset across a methodology switch
             if prev_mode == r.measurement_mode:
                 r.change_vs_prev = (r.time_per_op_ns - prev_t) / prev_t
+    from ..config import get_config
+    cfg = get_config()
     doc = {
         "environment": {
             "platform": jax.default_backend(),
             "devices": [str(d) for d in jax.devices()],
             "jax_version": jax.__version__,
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            # run-defining tunables, so results are reproducible and a
+            # calibrated shard threshold is pinned with the numbers it
+            # produced (VERDICT r2 item 7)
+            "backend": cfg.backend,
+            "precision": cfg.precision,
+            "shard_threshold": cfg.shard_threshold,
+            "dft_cutoff": cfg.dft_cutoff,
         },
         "records": [r.to_dict() for r in records],
     }

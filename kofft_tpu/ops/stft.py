@@ -390,8 +390,16 @@ def istft_stream_scan(fr, fi, window, hop: int,
     require(fr.shape[-1] == win, MismatchedLengthsError,
             f"frame length {fr.shape[-1]} != window length {win}")
     b = _resolve_planes_backend(backend)
-    w = jnp.asarray(w_np)
-    dtype = str(fr.dtype)
+    # coerce frames and window to one dtype BEFORE the scan: the carry
+    # (buf, norm) is initialized from the window while y follows the
+    # frame planes, and a dtype mismatch (e.g. f64 frames + f32 window
+    # under x64) would change the carry dtype across the first step and
+    # make lax.scan raise instead of computing (ADVICE r2 item 1)
+    ct = jnp.promote_types(fr.dtype, jnp.asarray(w_np).dtype)
+    fr = fr.astype(ct)
+    fi = fi.astype(ct)
+    w = jnp.asarray(w_np).astype(ct)
+    dtype = str(ct)
 
     def step(carry, f):
         buf, norm = carry

@@ -19,11 +19,15 @@ __all__ = ["hlo_all_to_all_local_bytes", "fft_sharded_expected_a2a_bytes",
 _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8,
                 "c128": 16, "s32": 4, "u32": 4}
 
-# matches both the synchronous form (%all-to-all = ... all-to-all(...))
-# and the async pair's START op (%all-to-all-start = ...); -done ops are
-# excluded so async lowering is not double-counted
+# matches the synchronous form (%all-to-all = ... all-to-all(...)) and
+# the async pair's DONE op (%all-to-all-done = ...), whose result type
+# is exactly the transferred local shard; START ops are skipped entirely
+# so the aliased-operand-buffer layout of the start tuple (which varies
+# across XLA versions) can never double- or under-count (ADVICE r2
+# item 2 — the previous halve-the-start heuristic was brittle)
 _A2A_DEF = re.compile(
-    r"%all-to-all(?:-start)?(?:\.\d+)?\s*=\s*(.*?)\s*all-to-all(?:-start)?\(",
+    r"%all-to-all(-start|-done)?(?:\.\d+)?\s*=\s*(.*?)"
+    r"\s*all-to-all(?:-start|-done)?\(",
     re.DOTALL)
 _SHAPE = re.compile(r"(f32|f64|bf16|f16|c64|c128|s32|u32)\[([\d,]*)\]")
 
@@ -34,15 +38,15 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
 
     Handles the forms XLA emits: a single tiled array result, the
     tuple-of-chunks decomposition (one operand per peer) — where the
-    result shapes sum to the full local shard — and the async pair's
-    START op, whose result type lists the aliased operand buffers AND
-    the result buffers (plus s32 control scalars): there the float
-    shapes are summed and halved so the shard is not double-counted."""
+    result shapes sum to the full local shard — and async start/done
+    pairs, counted once via the DONE op's result type (the actual
+    transferred shard; s32/u32 control scalars are skipped)."""
     total = 0
     for m in _A2A_DEF.finditer(compiled_text):
-        is_start = "-start" in m.group(0)
+        if m.group(1) == "-start":
+            continue                   # counted at the matching -done
         op_bytes = 0
-        for dt, dims in _SHAPE.findall(m.group(1)):
+        for dt, dims in _SHAPE.findall(m.group(2)):
             if dt in ("s32", "u32"):
                 continue               # async control scalars
             elems = 1
@@ -50,7 +54,7 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
                 if d:
                     elems *= int(d)
             op_bytes += elems * _DTYPE_BYTES[dt]
-        total += op_bytes // 2 if is_start else op_bytes
+        total += op_bytes
     return total
 
 

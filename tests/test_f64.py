@@ -121,3 +121,23 @@ def test_secondary_transforms_accept_f64(x64, rng):
     assert np.asarray(yr).dtype == np.float64
     zs = np.asarray(kt.hilbert_analytic(x))
     assert zs.dtype == np.complex128
+
+
+def test_istft_stream_scan_mixed_dtype_carry(x64, rng):
+    """f64 frame planes + f32 window must not change the scan carry dtype
+    across steps (ADVICE r2 item 1): the planes and window are promoted
+    to a common dtype before the scan, so this computes instead of
+    raising a lax.scan carry-type mismatch."""
+    from kofft_tpu.ops import stft as S
+    from kofft_tpu.ops import window as W
+    win, hop, nf = 64, 16, 8
+    x = rng.standard_normal(nf * hop).astype(np.float64)
+    w32 = np.asarray(W.hann(win), dtype=np.float32)
+    frames = np.asarray(S.stft(x, w32.astype(np.float64), hop))[:nf]
+    fr = np.ascontiguousarray(frames.real)          # float64 planes
+    fi = np.ascontiguousarray(frames.imag)
+    out = np.asarray(S.istft_stream_scan(fr, fi, w32, hop))
+    assert out.dtype == np.float64                  # promoted, not crashed
+    ref = np.asarray(S.istft(frames, w32.astype(np.float64), hop,
+                             length=nf * hop))
+    assert snr_db(ref, out[: nf * hop]) > 90.0
