@@ -18,7 +18,8 @@ from .ops.fft import (fft, ifft, fft_batch, ifft_batch,  # noqa: F401
 from .ops.rfft import rfft, irfft, rfft_split, irfft_split  # noqa: F401
 from .ops.ndfft import fft2, ifft2, fft3, ifft3, fftn, ifftn  # noqa: F401
 from .ops.stft import (stft, istft, stft_split, istft_split,  # noqa: F401
-                       StftStream, IstftStream, istft_stream_scan)
+                       StftStream, StftPushStream, IstftStream,
+                       istft_stream_scan, stft_stream_scan)
 from .ops.dct import dct, idct, dct1, dct2, dct3, dct4  # noqa: F401
 from .ops.dst import dst, dst1, dst2, dst3, dst4  # noqa: F401
 from .ops.hartley import dht  # noqa: F401

@@ -41,8 +41,9 @@ from .fft import (_fft_planes, _is_tracer, complex_io_supported,
 from .rfft import _rfft_planes
 
 __all__ = ["stft", "istft", "stft_split", "istft_split", "frame_split",
-           "inverse_frame_split", "StftStream", "IstftStream",
-           "istft_stream_scan", "num_frames"]
+           "inverse_frame_split", "StftStream", "StftPushStream",
+           "IstftStream", "istft_stream_scan", "stft_stream_scan",
+           "num_frames"]
 
 
 def num_frames(n: int, hop: int) -> int:
@@ -100,11 +101,14 @@ def _frame_matrix(x, win: int, hop: int, nf: int):
 
 
 def _stft_planes(x, window_np: np.ndarray, hop: int, onesided: bool,
-                 backend: str):
-    """real (..., N) -> frame spectra planes (..., F, K)."""
+                 backend: str, nf: Optional[int] = None):
+    """real (..., N) -> frame spectra planes (..., F, K).
+
+    ``nf`` overrides the frame count (default ceil(N/hop)) — the chunked
+    streaming path computes exactly the completable frames of a segment."""
     win = window_np.shape[0]
     n = x.shape[-1]
-    nf = num_frames(n, hop)
+    nf = nf if nf is not None else num_frames(n, hop)
     if win % hop == 0:
         frames = _frame_matrix(x, win, hop, nf) * window_np
     else:
@@ -361,6 +365,153 @@ class StftStream:
             if f is None:
                 return
             yield f
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_stft_chunk(win: int, hop: int, nf: int, onesided: bool,
+                    backend: str, window_key: tuple, ck: tuple = ()):
+    """Jitted chunk worker: (win + (nf-1)*hop,) segment -> (nf, K) planes.
+    Cache keyed on the pow2-bucketed frame count so arbitrary push sizes
+    hit a bounded set of executables."""
+    window_np = _window_cache[window_key]
+    return jax.jit(lambda seg: _stft_planes(seg, window_np, hop, onesided,
+                                            backend, nf=nf))
+
+
+class StftPushStream:
+    """Real-time chunked streaming STFT: ``push(samples)`` accepts an
+    arbitrary-length chunk and returns the spectra of ALL frames it
+    completes — ``⌈len/hop⌉`` frames per single device launch, not one
+    launch per frame (the per-frame form costs ~24 ms/frame launch
+    overhead over a tunneled attachment; the chunked form amortizes it
+    across the chunk). This is the push-style symmetric twin of
+    :class:`IstftStream` and the device-side contract behind the web
+    streaming state (reference ``State::compute_frame`` accumulate/drain
+    semantics, ``web-spectrogram/src/lib.rs:211-234``, generalized from
+    1 frame per call to k).
+
+    Frame semantics match :func:`stft`/:class:`StftStream`: frame f
+    covers ``[f*hop, f*hop+win)``; a frame is emitted once its window is
+    fully buffered; ``flush()`` zero-pads and emits the remaining
+    partial frames so that push(whole signal) + flush() reproduces the
+    offline ``stft_split`` exactly (``F = ceil(N/hop)`` frames).
+
+    Chunk executables are compile-cached per pow2-bucketed frame count:
+    a segment is zero-padded up to the bucket and the spurious frames
+    sliced off, so arbitrary audio-callback sizes reuse O(log F) compiled
+    programs instead of one per distinct k."""
+
+    def __init__(self, window, hop: int, onesided: bool = False,
+                 backend: Optional[str] = None):
+        require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+        self._w = _window_const(window)
+        self._hop = hop
+        self._onesided = onesided
+        self._backend = _resolve_planes_backend(backend)
+        self._buf = np.zeros(0, dtype=self._w.dtype)
+
+    @property
+    def buffered(self) -> int:
+        """Samples currently waiting for their frame to complete."""
+        return int(self._buf.size)
+
+    def _run_chunk(self, seg: np.ndarray, k: int):
+        win, hop = self._w.shape[0], self._hop
+        kb = 1 << max(0, (k - 1).bit_length())    # pow2 bucket
+        need = win + (kb - 1) * hop
+        if seg.size < need:
+            seg = np.concatenate(
+                [seg, np.zeros(need - seg.size, seg.dtype)])
+        fr, fi = _jit_stft_chunk(win, hop, kb, self._onesided,
+                                 self._backend, _window_key(self._w),
+                                 trace_key())(seg)
+        return np.asarray(fr)[:k], np.asarray(fi)[:k]
+
+    def push(self, samples):
+        """Buffer ``samples``; returns (re, im) planes of shape (k, K)
+        for the k frames this chunk completed (k may be 0)."""
+        s = np.asarray(samples, dtype=self._w.dtype).ravel()
+        self._buf = np.concatenate([self._buf, s])
+        win, hop = self._w.shape[0], self._hop
+        b = self._buf.size
+        kdim = win // 2 + 1 if self._onesided else win
+        if b < win:
+            z = np.zeros((0, kdim), dtype=self._w.dtype)
+            return z, z.copy()
+        k = (b - win) // hop + 1
+        out = self._run_chunk(self._buf[: win + (k - 1) * hop], k)
+        self._buf = self._buf[k * hop:]
+        return out
+
+    def flush(self):
+        """Zero-pad and emit the remaining partial frames (the streaming
+        tail), then reset; offline parity: push+flush emits exactly
+        ``ceil(total/hop)`` frames."""
+        win, hop = self._w.shape[0], self._hop
+        b = self._buf.size
+        kdim = win // 2 + 1 if self._onesided else win
+        if b == 0:
+            z = np.zeros((0, kdim), dtype=self._w.dtype)
+            return z, z.copy()
+        k = num_frames(b, hop)
+        out = self._run_chunk(self._buf, k)
+        self._buf = np.zeros(0, dtype=self._w.dtype)
+        return out
+
+
+def stft_stream_scan(signal, window, hop: int, onesided: bool = False,
+                     backend: Optional[str] = None):
+    """Device-side streaming forward STFT: ONE ``lax.scan`` over the frame
+    index emitting one spectrum per hop — the scan form of
+    :class:`StftStream` (reference ``StftStream``, ``src/stft.rs:160-206``),
+    symmetric with :func:`istft_stream_scan`. Exact parity with the
+    streaming class including the zero-padded final partial frames:
+    frame ``f`` covers ``[f*hop, f*hop + win)`` of the zero-extended
+    signal, ``F = ceil(N / hop)`` frames total (``stft.rs:88-100``).
+
+    Unlike the offline frame-matrix path this never materializes the
+    (F, win) frame matrix before the FFT — each scan step slices one
+    window from the padded signal — so peak memory is O(N + F*K) instead
+    of O(N * win/hop + F*K), which is what makes hour-long signals
+    streamable on one chip. The whole stream is a single executable (no
+    ~24 ms/frame launch cost over a tunneled attachment) and is
+    jit/AD-composable. Measured (v5e, 512 frames of win=1024/hop=256,
+    slope harness): 2.16 us/frame complex, 2.06 us/frame onesided —
+    symmetric with ``istft_stream_scan``'s 2.3. The offline batched
+    ``stft_split`` is ~0.09 us/frame at the same shape: prefer it
+    whenever the whole signal is already resident; the scan exists for
+    bounded-memory streams and for carrying state through ``lax.scan``
+    compositions.
+
+    Returns (re, im) planes of shape (F, K), K = win (``win//2+1`` when
+    ``onesided``)."""
+    require(hop >= 1, InvalidHopSizeError, f"hop must be >= 1, got {hop}")
+    w_np = _window_const(window)
+    win = w_np.shape[0]
+    x = jnp.asarray(signal)
+    require(x.ndim == 1 and x.shape[0] >= 1, EmptyInputError,
+            "stft_stream_scan takes a non-empty 1-D signal")
+    n = x.shape[0]
+    nf = num_frames(n, hop)
+    b = _resolve_planes_backend(backend)
+    ct = jnp.promote_types(x.dtype, jnp.asarray(w_np).dtype)
+    x = x.astype(ct)
+    w = jnp.asarray(w_np).astype(ct)
+    padded = (nf - 1) * hop + win
+    if padded > n:
+        x = jnp.pad(x, (0, padded - n))
+
+    def step(pos, _):
+        seg = jax.lax.dynamic_slice_in_dim(x, pos, win) * w
+        if onesided:
+            fr, fi = _rfft_planes(seg, win, b)
+        else:
+            fr, fi = _fft_planes(seg, jnp.zeros_like(seg), win, False, b,
+                                 str(ct))
+        return pos + hop, (fr, fi)
+
+    _, (yr, yi) = jax.lax.scan(step, jnp.int32(0), None, length=nf)
+    return yr, yi
 
 
 def istft_stream_scan(fr, fi, window, hop: int,

@@ -63,14 +63,17 @@ def stft_magnitudes(samples, win_len: int, hop: int,
     return mags, float(mags.max(initial=0.0))
 
 
-def magnitude_to_db(mag, max_mag: float, floor_db: float):
-    """20*log10(mag/max) clamped at floor (spectrogram.rs:96-103)."""
+def magnitude_to_db(mag, max_mag, floor_db: float):
+    """20*log10(mag/max) clamped at floor (spectrogram.rs:96-103).
+
+    ``max_mag`` may be a scalar or an array broadcastable against ``mag``
+    (the chunked streaming path colorizes k frames at once, each against
+    its own sequential running max)."""
     mag = np.asarray(mag, dtype=np.float32)
-    if max_mag <= 0.0:
-        return np.full_like(mag, floor_db)
-    db = 20.0 * np.log10(np.maximum(mag, 1e-30) / max_mag)
+    mx = np.asarray(max_mag, dtype=np.float32)
+    db = 20.0 * np.log10(np.maximum(mag, 1e-30) / np.maximum(mx, 1e-30))
     db = np.maximum(db, floor_db)
-    return np.where(mag <= 0.0, floor_db, db)
+    return np.where((mag <= 0.0) | (mx <= 0.0), np.float32(floor_db), db)
 
 
 def db_scale(mag, max_mag: float, dynamic_range: float):

@@ -102,7 +102,11 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:
                 self._json({"error": str(e)}, 400)
                 return
-            self._json({"row": row.tolist()})
+            # chunked path: one launch may complete k frames; "rows"
+            # tells the client how many columns the flat RGBA holds
+            per = (self.state.win_len // 2) * 4
+            self._json({"row": row.tolist(),
+                        "rows": int(row.size) // per if per else 0})
         elif self.path == "/api/stft":
             from ..visual.spectrogram import stft_magnitudes
             samples = np.asarray(body.get("samples", []), np.float32)

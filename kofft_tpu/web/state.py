@@ -7,6 +7,14 @@ take the half-spectrum magnitudes, track the running max (init 1e-12),
 colorize each bin to RGBA (alpha=255), drain HOP samples. Default palette
 Rainbow; ``set_colormap``/``reset`` mirror the WASM exports
 (``lib.rs:238-252``).
+
+Device path: the chunked :class:`kofft_tpu.ops.stft.StftPushStream` —
+every push computes ALL frames the chunk completes in ONE launch
+(generalizing the reference's 1-frame-per-call contract to k frames;
+per-frame launches cost ~24 ms each over a tunneled TPU attachment).
+The running max is still applied *sequentially* per frame — frame f is
+colorized against the max over frames <= f — matching the reference's
+frame-at-a-time semantics exactly even when k frames arrive in a batch.
 """
 
 from __future__ import annotations
@@ -25,7 +33,7 @@ FLOOR_DB = -80.0
 
 
 class StreamingSpectrogram:
-    """Stateful streaming spectrogram: ring buffer + per-frame transform +
+    """Stateful streaming spectrogram: ring buffer + chunked transform +
     running max (the streaming/stateful API contract from SURVEY.md §3.4)."""
 
     def __init__(self, win_len: int = WIN_LEN, hop: int = HOP,
@@ -36,7 +44,7 @@ class StreamingSpectrogram:
         self.floor_db = floor_db
         self._window = _window.hann(win_len)
         self._cmap = Colormap.parse(colormap)
-        self._buf = np.zeros(0, dtype=np.float32)
+        self._stream = _stft.StftPushStream(self._window, hop)
         self._max_mag = 1e-12
         # one state instance is shared across ThreadingHTTPServer handler
         # threads; without the lock two concurrent pushes race on the
@@ -49,31 +57,32 @@ class StreamingSpectrogram:
 
     def reset(self) -> None:
         with self._lock:
-            self._buf = np.zeros(0, dtype=np.float32)
+            self._stream = _stft.StftPushStream(self._window, self.hop)
             self._max_mag = 1e-12
             self._cmap = Colormap.RAINBOW
 
     def compute_frame(self, samples) -> np.ndarray:
-        """Push samples; returns an RGBA row (win_len//2, 4) uint8, or an
-        empty array when fewer than win_len samples are buffered.
-        Thread-safe (serialized on the instance lock)."""
+        """Push samples; returns the RGBA rows of every frame the chunk
+        completed — shape flattened (k * win_len//2 * 4,) uint8, empty
+        when no frame completed. One device launch per call regardless
+        of k. Thread-safe (serialized on the instance lock)."""
         s = np.asarray(samples, dtype=np.float32).ravel()
         with self._lock:
-            return self._compute_frame_locked(s)
+            return self._compute_frames_locked(s)
 
-    def _compute_frame_locked(self, s) -> np.ndarray:
-        self._buf = np.concatenate([self._buf, s])
-        if self._buf.size < self.win_len:
+    def _compute_frames_locked(self, s) -> np.ndarray:
+        fr, fi = self._stream.push(s)
+        k = fr.shape[0]
+        if k == 0:
             return np.zeros((0,), dtype=np.uint8)
-        fr, fi = _stft.frame_split(self._buf[: self.win_len], self._window,
-                                   start=0)
         half = self.win_len // 2
-        mags = np.sqrt(np.asarray(fr)[:half] ** 2
-                       + np.asarray(fi)[:half] ** 2)
-        self._max_mag = max(self._max_mag, float(mags.max(initial=0.0)))
-        rgb = color_from_magnitude_u8(mags, self._max_mag, self.floor_db,
-                                      self._cmap)
-        row = np.concatenate(
-            [rgb, np.full((half, 1), 255, np.uint8)], axis=1)
-        self._buf = self._buf[self.hop:]
-        return row.reshape(-1)
+        mags = np.sqrt(fr[:, :half] ** 2 + fi[:, :half] ** 2)  # (k, half)
+        # sequential running max: frame f sees max over frames <= f
+        row_max = np.maximum.accumulate(
+            np.maximum(mags.max(axis=1, initial=0.0), self._max_mag))
+        self._max_mag = float(row_max[-1])
+        rgb = color_from_magnitude_u8(mags, row_max[:, None],
+                                      self.floor_db, self._cmap)
+        rows = np.concatenate(
+            [rgb, np.full((k, half, 1), 255, np.uint8)], axis=-1)
+        return rows.reshape(-1)

@@ -47,17 +47,23 @@ document.getElementById("start").addEventListener("click", async () => {
       }
       const row = resp && resp.row;
       if (!row || !row.length) return;
-      const h = row.length / 4;
-      // scroll left one column
-      ctx.drawImage(canvas, 1, 0, canvas.width - 1, canvas.height,
-                    0, 0, canvas.width - 1, canvas.height);
-      const img = ctx.createImageData(1, h);
-      for (let y = 0; y < h; y++) {
-        const s = y * 4, d = (h - 1 - y) * 4; // low freq at bottom
-        img.data[d] = row[s]; img.data[d + 1] = row[s + 1];
-        img.data[d + 2] = row[s + 2]; img.data[d + 3] = row[s + 3];
+      // the chunked server may return k columns per push ("rows");
+      // older servers return exactly one
+      const nrows = (resp.rows && resp.rows > 0) ? resp.rows : 1;
+      const h = row.length / 4 / nrows;
+      // scroll left by the number of new columns
+      ctx.drawImage(canvas, nrows, 0, canvas.width - nrows, canvas.height,
+                    0, 0, canvas.width - nrows, canvas.height);
+      for (let c = 0; c < nrows; c++) {
+        const img = ctx.createImageData(1, h);
+        const base = c * h * 4;
+        for (let y = 0; y < h; y++) {
+          const s = base + y * 4, d = (h - 1 - y) * 4; // low freq at bottom
+          img.data[d] = row[s]; img.data[d + 1] = row[s + 1];
+          img.data[d + 2] = row[s + 2]; img.data[d + 3] = row[s + 3];
+        }
+        ctx.putImageData(img, canvas.width - nrows + c, canvas.height - h);
       }
-      ctx.putImageData(img, canvas.width - 1, canvas.height - h);
     });
   };
 });

@@ -176,3 +176,92 @@ def test_istft_stream_scan_matches_push_flush(rng):
     got2 = np.asarray(jax.jit(
         lambda a, b: istft_stream_scan(a, b, w, hop))(fr, fi))
     assert snr_db(ref, got2) > 90.0
+
+
+def test_stft_stream_scan_matches_offline(rng):
+    """The scan-based device-side forward STFT emits EXACTLY the offline
+    frames — including the zero-padded final partial frames — in one
+    executable (VERDICT r2 item 4; reference StftStream contract,
+    src/stft.rs:160-206)."""
+    import jax
+    from kofft_tpu.ops.stft import stft_stream_scan
+    win, hop = 64, 16
+    n = 50 * hop + 7                      # non-multiple: partial tail
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    rr, ri = S.stft_split(x, w, hop)
+    ref = np.asarray(rr) + 1j * np.asarray(ri)
+    yr, yi = stft_stream_scan(x, w, hop)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.shape == ref.shape == (S.num_frames(n, hop), win)
+    assert snr_db(ref, got) > SNR
+
+    # one-sided variant matches the one-sided offline path
+    hr, hi = S.stft_split(x, w, hop, onesided=True)
+    or_, oi = stft_stream_scan(x, w, hop, onesided=True)
+    assert np.asarray(or_).shape == (S.num_frames(n, hop), win // 2 + 1)
+    assert snr_db(np.asarray(hr) + 1j * np.asarray(hi),
+                  np.asarray(or_) + 1j * np.asarray(oi)) > SNR
+
+    # jit-composability: the stream is a traceable function
+    jr, ji = jax.jit(lambda s: stft_stream_scan(s, w, hop))(x)
+    assert snr_db(ref, np.asarray(jr) + 1j * np.asarray(ji)) > SNR
+
+
+def test_stft_stream_scan_matches_streaming_class(rng):
+    """Scan frames == the per-frame StftStream iterator, frame by frame."""
+    from kofft_tpu.ops.stft import StftStream, stft_stream_scan
+    win, hop, n = 32, 8, 100
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hamming(win)
+    yr, yi = stft_stream_scan(x, w, hop)
+    frames = [(np.asarray(a), np.asarray(b)) for a, b in StftStream(x, w, hop)]
+    assert len(frames) == np.asarray(yr).shape[0]
+    for f, (fr, fi) in enumerate(frames):
+        assert snr_db(fr + 1j * fi,
+                      np.asarray(yr)[f] + 1j * np.asarray(yi)[f]) > SNR
+
+
+def test_stft_push_stream_chunked_parity(rng):
+    """push() in irregular chunk sizes + flush() reproduces the offline
+    stft exactly: k frames per launch, pow2-bucketed executables
+    (VERDICT r2 item 4's chunked push contract)."""
+    from kofft_tpu.ops.stft import StftPushStream
+    win, hop = 64, 16
+    n = 37 * hop + 5
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    rr, ri = S.stft_split(x, w, hop)
+    ref = np.asarray(rr) + 1j * np.asarray(ri)
+
+    st = StftPushStream(w, hop)
+    got_r, got_i = [], []
+    pos = 0
+    for chunk in (3, 200, 1, 64, 500, 10):   # irregular arrival
+        fr, fi = st.push(x[pos: pos + chunk])
+        pos += chunk
+        got_r.append(fr); got_i.append(fi)
+    fr, fi = st.push(x[pos:])
+    got_r.append(fr); got_i.append(fi)
+    fr, fi = st.flush()
+    got_r.append(fr); got_i.append(fi)
+    got = np.concatenate(got_r) + 1j * np.concatenate(got_i)
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > SNR
+    assert st.buffered == 0                  # flush resets
+
+
+def test_stft_push_stream_onesided_and_empty(rng):
+    from kofft_tpu.ops.stft import StftPushStream
+    win, hop = 32, 8
+    w = W.hann(win)
+    st = StftPushStream(w, hop, onesided=True)
+    fr, fi = st.push(np.zeros(4, np.float32))      # below win: no frames
+    assert fr.shape == (0, win // 2 + 1)
+    x = rng.standard_normal(win + 3 * hop).astype(np.float32)
+    fr, fi = st.push(x)
+    assert fr.shape == (4, win // 2 + 1)           # (b-win)//hop+1
+    rr, ri = S.stft_split(np.concatenate([np.zeros(4, np.float32), x]),
+                          w, hop, onesided=True)
+    ref = (np.asarray(rr) + 1j * np.asarray(ri))[:4]
+    assert snr_db(ref, fr + 1j * fi) > SNR

@@ -141,3 +141,23 @@ def test_app_registers_service_worker():
     app = (Path(__file__).parent.parent / "kofft_tpu" / "web" / "static"
            / "app.mjs").read_text()
     assert "serviceWorker" in app and "register" in app
+
+
+def test_streaming_state_chunked_multi_row():
+    """A push that completes k frames returns k RGBA rows from ONE
+    device launch (the chunked path wired per VERDICT r2 item 4), with
+    the running max applied sequentially per frame."""
+    x = np.random.randn(1024 + 2 * 512).astype(np.float32)
+    st = StreamingSpectrogram()
+    rows = st.compute_frame(x)
+    assert rows.shape == (3 * 512 * 4,)            # 3 completed frames
+    assert np.all(rows[3::4] == 255)               # alpha everywhere
+    # per-hop pushes on a fresh state paint the SAME pixels: the batched
+    # path preserves the reference's frame-at-a-time running-max
+    st2 = StreamingSpectrogram()
+    seq = [st2.compute_frame(x[i: i + 512]) for i in range(0, x.size, 512)]
+    # +-1 LSB: the batched and per-frame FFT launches round f32 slightly
+    # differently, which can flip a dB value sitting on a u8 boundary
+    diff = np.abs(np.concatenate(seq).astype(np.int16)
+                  - rows.astype(np.int16))
+    assert diff.max() <= 1
