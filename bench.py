@@ -51,9 +51,14 @@ def main() -> None:
     records = []
 
     # ---- headline: 2^20 c32 FFT --------------------------------------
+    # single-transform rows use RANK-1 operands (the reference benches
+    # one Vec per op): the flat<->tiled relayouts around the phased
+    # kernel are measurably cheaper for 1-D arrays than for (1, n)
+    # rank-2 (142.5 vs 157.5 us at 2^20, r3), and the rank-1 rfft path
+    # emits its one-sided planes directly from the kernel
     n = 1 << 20
-    xr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
-    xi = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     t = timeit_chained(lambda p: kt.fft_split(p[0], p[1]), (xr, xi),
                        iters=200)
     pts_per_sec = n / t
@@ -76,8 +81,8 @@ def main() -> None:
     # ---- FFT size sweep (reference bench sizes subset) ---------------
     for p2 in (10, 12, 14, 16, 18):
         m = 1 << p2
-        ar = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
-        ai = jnp.asarray(rng.standard_normal((1, m)).astype(np.float32))
+        ar = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+        ai = jnp.asarray(rng.standard_normal(m).astype(np.float32))
         tm = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (ar, ai),
                             iters=400)
         records.append(BenchRecord("kofft_tpu", "complex", m, "single",
@@ -128,7 +133,7 @@ def main() -> None:
     # intermediates per iteration; measured r2, exp_harness_bias.py), so
     # comparing a scalar-carry rfft against a ping-pong complex FFT was
     # biased against rfft. ---
-    xrr = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    xrr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     def rfft_pp(a):
         yr, yi = kt.rfft_split(a)

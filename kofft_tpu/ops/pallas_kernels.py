@@ -599,21 +599,38 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 # larger sizes stay on the two-call kernels. (2^22 A/B: phased 800.2 us
 # vs two-call 826.5 — phased still wins at the cap.)
 #
-# Public-path note: kt.fft_split measures ~156.9 us at 2^20 vs 136.9
-# for the raw kernel on (b, n1, n2) operands; the ~20 us is the XLA
-# layout copy between the flat (b, n) API planes and the kernel's tiled
-# (n1, n2) view (measured: raw kernel behind flat reshapes = 156.4 —
-# the primitive/jit layers add nothing). Inherent to the flat contract.
-# The raw phased RFFT kernel is 122.0 us — decisively faster than the
-# complex kernel (136.9), the reference relationship (realfft faster
-# than complex, benchmarks/README.md:68-72); public rfft_split lands at
-# ~164 because the one-sided flat assembly adds its own layout copies.
+# Public-path note (r3): rank-1 operands are the fast public form —
+# the flat<->tiled relayouts around the kernel cost less for 1-D arrays
+# than for (1, n) rank-2 (complex fft_split 142.5 vs 157.5 us at 2^20).
+# The raw phased RFFT kernel is 122.0 us vs complex 136.9; with the
+# rank-1 flat output phase (phase 3 below) the PUBLIC rank-1 rfft lands
+# at 130.1 us < public complex 142.5 — the reference relationship
+# (realfft faster than complex, benchmarks/README.md:68-72) now holds
+# at the public API. The old reshape+concat epilogue cost ~31 us when
+# composed behind the custom-call boundary even though it fuses to ~1 us
+# in isolation (benchmarks/exp_rfft_public.py is the decomposition).
 _PHASED_MAX_N = 1 << 22
 
 
 @functools.lru_cache(maxsize=None)
 def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
-                  mode: str = "highest", real: bool = False):
+                  mode: str = "highest", real: bool = False,
+                  flat: bool = False):
+    """Phased one-call kernel. Complex: phases (stage 1 | stage 2),
+    output the tiled (b, n2, n1) planes (their flat reshape IS the
+    natural-order spectrum). Real tiled (``flat=False``): one-sided
+    (b, h, n1) rows + the C[k1=0] rows for the XLA Nyquist epilogue.
+    Real flat (``flat=True``, single-transform b == 1 only): a third
+    phase linearizes stage 2's one-sided rows (second VMEM scratch)
+    into the RANK-1 flat (n//2+1,) planes, appending the Nyquist bin
+    computed from C's k1=0 row in the tail step. The rank-1 output is
+    load-bearing: a (1, m) rank-2 flat output puts each block on one
+    sublane of its VMEM vregs (1/8 dense) and the phase measured +55 us;
+    the 1-D layout is sublane-dense and the whole assembly costs ~6 us —
+    vs ~31 us for the XLA reshape+concat epilogue behind the custom-call
+    boundary (isolated it fuses to ~1 us; benchmarks/exp_rfft_public.py).
+    Public rfft lands under the public complex FFT, the reference
+    relationship (/root/reference/benchmarks/README.md:68-72)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -623,6 +640,10 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     ph1 = n2 // t                      # stage-1 steps (column tiles)
     ph2 = n1 // t                      # stage-2 steps (line tiles)
     h = n2 // 2                        # one-sided stage-2 rows (rfft)
+    tk = min(_ML_TILE, h)              # phase-3 spectrum rows per step
+    w = tk * n1                        # phase-3 flat block width
+    m_flat = n // 2 + 1                # one-sided flat length
+    ph3 = (h // tk) + 1 if (real and flat) else 0  # + Nyquist tail step
     keys1 = _ml_const_keys(n1)
     keys2 = _ml_const_keys(n2)
     consts1 = _ml_const_arrays(keys1, dtype)
@@ -643,7 +664,9 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         ebr_r, ebi_r, ecr_r, eci_r = rest[:4]
         crefs = rest[4: 4 + nc1 + len(consts2)]
         outs = rest[4 + nc1 + len(consts2):]
-        if real:
+        if real and flat:
+            out_r, out_i, scr_r, scr_i, sc2_r, sc2_i = outs
+        elif real:
             out_r, out_i, nyq_r, nyq_i, scr_r, scr_i = outs
         else:
             out_r, out_i, scr_r, scr_i = outs
@@ -671,13 +694,13 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             ci = yr * w_i + yi * w_r
             scr_r[i] = cr
             scr_i[i] = ci
-            if real:
+            if real and not flat:
                 # the Nyquist epilogue needs C[k1=0, :]: emit it as a
                 # small second output, one (1, 1, t) tile per column step
                 nyq_r[0] = cr[0:1, :]
                 nyq_i[0] = ci[0:1, :]
 
-        @pl.when(i >= ph1)
+        @pl.when(jnp.logical_and(i >= ph1, i < ph1 + ph2))
         def _stage2():
             j = i - ph1
             # line block (t, n2): rows [j*t, j*t+t) of the (n1, n2) C
@@ -687,12 +710,50 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             bi = jnp.concatenate(
                 [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
             zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
-            if real:
+            if real and flat:
+                sc2_r[j] = zr[:h]          # one-sided: k2 < n2/2
+                sc2_i[j] = zi[:h]
+            elif real:
                 out_r[0] = zr[:h]          # one-sided: k2 < n2/2
                 out_i[0] = zi[:h]
             else:
                 out_r[0] = zr              # (n2, t)
                 out_i[0] = zi
+
+        if real and flat:
+            @pl.when(i >= ph1 + ph2)
+            def _stage3():
+                p = i - ph1 - ph2
+                is_tail = p == ph3 - 1
+
+                @pl.when(jnp.logical_not(is_tail))
+                def _rows():
+                    # spectrum rows [p*tk, (p+1)*tk) across all k1: the
+                    # (tk, t) row-slices of every stage-2 chunk, joined
+                    # and linearized to the flat k = k2*n1 + k1 order
+                    rs = jnp.concatenate(
+                        [sc2_r[c, pl.ds(p * tk, tk), :]
+                         for c in range(ph2)], axis=1)      # (tk, n1)
+                    im = jnp.concatenate(
+                        [sc2_i[c, pl.ds(p * tk, tk), :]
+                         for c in range(ph2)], axis=1)
+                    out_r[...] = rs.reshape(w)
+                    out_i[...] = im.reshape(w)
+
+                @pl.when(is_tail)
+                def _nyquist():
+                    # X[n/2] = sum_j2 (-1)^j2 C[k1=0, j2]; j2 = c*t + u
+                    # and t is even, so the sign depends on u alone
+                    sgn = 1.0 - 2.0 * (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, t), 1) % 2).astype(jnp.float32)
+                    acc_r = jnp.float32(0.0)
+                    acc_i = jnp.float32(0.0)
+                    for c in range(ph1):
+                        acc_r += jnp.sum(scr_r[c, 0:1, :] * sgn)
+                        acc_i += jnp.sum(scr_i[c, 0:1, :] * sgn)
+                    lane = jax.lax.iota(jnp.int32, w)
+                    out_r[...] = jnp.where(lane == 0, acc_r, 0.0)
+                    out_i[...] = jnp.where(lane == 0, acc_i, 0.0)
 
     def const_specs(arrs):
         return [pl.BlockSpec(a.shape,
@@ -702,11 +763,24 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     data_in = pl.BlockSpec((1, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
-    out_rows = h if real else n2
-    data_out = pl.BlockSpec(
-        (1, out_rows, t),
-        lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
-        memory_space=pltpu.VMEM)
+    if real and flat:
+        # RANK-1 flat one-sided output (sublane-dense; see docstring):
+        # phase-3 step p writes block p; earlier steps revisit block 0
+        # unwritten (kept in VMEM, flushed once written — the same
+        # revisited-block pattern as data_out below)
+        data_out = pl.BlockSpec(
+            (w,), lambda b_, i: (jnp.maximum(i - ph1 - ph2, 0),),
+            memory_space=pltpu.VMEM)
+    elif real:
+        data_out = pl.BlockSpec(
+            (1, h, t),
+            lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
+            memory_space=pltpu.VMEM)
+    else:
+        data_out = pl.BlockSpec(
+            (1, n2, t),
+            lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
+            memory_space=pltpu.VMEM)
     # the nyq output advances with the phase-1 column step; every
     # phase-2 step pins to the LAST column tile (min(i, ph1-1)) without
     # writing, so only that already-written tile is revisited and its
@@ -722,21 +796,29 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
 
     nin = 1 if real else 2
     out_specs = [data_out, data_out]
-    if real:
+    if real and not flat:
         out_specs += [nyq_out, nyq_out]
+    scratch = [pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2
+    if real and flat:
+        scratch += [pltpu.VMEM((ph2, h, t), jnp.float32)] * 2
 
     def run(b, ar, ai=None):
         args = (ar,) if real else (ar, ai)
-        shapes = [jax.ShapeDtypeStruct((b, out_rows, n1), jnp.float32)] * 2
-        if real:
+        if real and flat:
+            assert b == 1, "flat phased rfft serves single transforms"
+            shapes = [jax.ShapeDtypeStruct((m_flat,), jnp.float32)] * 2
+        elif real:
+            shapes = [jax.ShapeDtypeStruct((b, h, n1), jnp.float32)] * 2
             shapes += [jax.ShapeDtypeStruct((b, 1, n2), jnp.float32)] * 2
+        else:
+            shapes = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
         return pl.pallas_call(
-            kern, grid=(b, ph1 + ph2),
+            kern, grid=(b, ph1 + ph2 + ph3),
             in_specs=[data_in] * nin + [base, base, col, col]
             + const_specs(consts1) + const_specs(consts2),
             out_specs=out_specs,
             out_shape=shapes,
-            scratch_shapes=[pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2,
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
                 flops=32 * b * n * max(1, n.bit_length() // 5),
                 bytes_accessed=4 * 2 * b * n * 2,
@@ -803,6 +885,21 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
+    if _use_phased(n, bt) and batch == ():
+        # 1-D single transform: the phased real kernel emits the RANK-1
+        # FLAT one-sided planes itself (phase-3 assembly in VMEM
+        # scratch) — no reshape/concat epilogue, which cost ~31 us at
+        # 2^20 behind the custom-call boundary. Restricted to rank-1
+        # inputs: reshaping the (m,) result to (1, m) materializes the
+        # sublane-sparse rank-2 layout and costs MORE than the epilogue
+        # it saves (measured 195 vs 164 us at 2^20) — batched and
+        # (1, n)-shaped callers ride the tiled path below. Public
+        # rank-1 rfft at 2^20: 130 us vs 157 for the public complex FFT
+        # (the reference relationship, benchmarks/README.md:68-72).
+        run = _build_phased(n, str(x.dtype), interpret,
+                            _kernel_precision(), real=True, flat=True)
+        yr, yi = run(1, x.reshape(1, n1, n2))
+        return yr, yi
     if _use_phased(n, bt):
         run = _build_phased(n, str(x.dtype), interpret,
                             _kernel_precision(), real=True)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 
 __all__ = ["hlo_all_to_all_local_bytes", "fft_sharded_expected_a2a_bytes",
-           "check_fft_sharded_comm_volume"]
+           "check_fft_sharded_comm_volume", "hlo_a2a_independent_sources"]
 
 _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8,
                 "c128": 16, "s32": 4, "u32": 4}
@@ -56,6 +56,54 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
             op_bytes += elems * _DTYPE_BYTES[dt]
         total += op_bytes
     return total
+
+
+_OP_DEF = re.compile(r"\s*(%[\w.\-]+)\s*=")
+_OP_REF = re.compile(r"%[\w.\-]+")
+
+
+def hlo_a2a_independent_sources(compiled_text: str) -> dict:
+    """Dependency-structure audit of the collective pipeline.
+
+    Parses the compiled HLO's op graph (op -> operand names) and
+    classifies every ``all-to-all`` (sync form or async START; -done ops
+    are the completion of a start and not counted separately): an op is
+    an *independent source* when no other all-to-all is among its
+    transitive operands. The sequential four-step has exactly 2 (the
+    stage-1 re/im pair — everything later depends on them); the
+    ``overlap=K`` pipeline has 2K mutually independent stage-A chains,
+    which is precisely the property that lets the TPU latency-hiding
+    scheduler fly chunk k+1's collective during chunk k's DFT. Returns
+    ``{"total": ..., "independent_sources": ...}``."""
+    deps: dict[str, list] = {}
+    for line in compiled_text.splitlines():
+        m = _OP_DEF.match(line)
+        if not m:
+            continue
+        deps[m.group(1)] = [r for r in _OP_REF.findall(line[m.end():])
+                            if r != m.group(1)]
+
+    def is_a2a(name: str) -> bool:
+        base = name.split(".")[0]
+        return base in ("%all-to-all", "%all-to-all-start")
+
+    memo: dict[str, bool] = {}
+
+    def has_a2a_ancestor(name: str) -> bool:
+        if name in memo:
+            return memo[name]
+        memo[name] = False           # cycle guard (HLO is a DAG)
+        out = False
+        for op in deps.get(name, ()):
+            if is_a2a(op) or has_a2a_ancestor(op):
+                out = True
+                break
+        memo[name] = out
+        return out
+
+    a2as = [nm for nm in deps if is_a2a(nm)]
+    indep = [nm for nm in a2as if not has_a2a_ancestor(nm)]
+    return {"total": len(a2as), "independent_sources": len(indep)}
 
 
 def fft_sharded_expected_a2a_bytes(n: int, d: int,

@@ -347,3 +347,26 @@ def test_rdft_primitive_ad_rules_trace(rng):
     vout = jax.eval_shape(
         jax.vmap(lambda a: pallas_rfft_planes(a, n)), vx)
     assert tuple(vout[0].shape) == (5, 3, h)
+
+
+def test_phased_flat_rfft_rank1_parity(rng):
+    """The rank-1 flat phased rfft (phase-3 in-VMEM assembly emitting the
+    (n//2+1,) planes directly, r3) matches numpy bin-for-bin including
+    the Nyquist tail step, and agrees with the (1, n) / batched tiled
+    paths it specializes."""
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_rfft
+    n = 1 << 14
+    x = rng.standard_normal(n).astype(np.float32)
+    yr, yi = fused_multilevel_rfft(jnp.asarray(x), n, interpret=True)
+    assert np.asarray(yr).shape == (n // 2 + 1,)
+    ref = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 120.0
+    # Nyquist bin specifically (the tail-step write)
+    assert abs(got[n // 2] - ref[n // 2]) < 1e-2 * max(1.0, abs(ref[n // 2]))
+    # the (1, n) rank-2 form rides the tiled path and must agree exactly
+    # in shape and to f32 tolerance in value
+    yr2, yi2 = fused_multilevel_rfft(jnp.asarray(x[None]), n,
+                                     interpret=True)
+    assert np.asarray(yr2).shape == (1, n // 2 + 1)
+    assert snr_db(got, np.asarray(yr2)[0] + 1j * np.asarray(yi2)[0]) > 120.0
