@@ -9,7 +9,7 @@ tooling. See SURVEY.md for the layer map this implements.
 """
 
 from .config import (get_config, set_backend, set_dft_cutoff,  # noqa: F401
-                     set_precision, set_shard_threshold)
+                     set_overlap_chunks, set_precision, set_shard_threshold)
 from .errors import (KofftError, EmptyInputError,  # noqa: F401
                      MismatchedLengthsError, InvalidStrideError,
                      InvalidHopSizeError, InvalidValueError)

@@ -62,6 +62,11 @@ class _Config:
                                          _PRECISIONS))
     shard_threshold: int = field(
         default_factory=lambda: _env_int("KOFFT_TPU_SHARD_THRESHOLD", 1 << 16))
+    # chunk count for the comm/compute-overlap pipeline in the sharded
+    # transforms (1 = sequential program); the auto paths use it when
+    # shapes divide (analog of KOFFT_PAR_FFT_BLOCK_SIZE, fft.rs:195-200)
+    overlap_chunks: int = field(
+        default_factory=lambda: _env_int("KOFFT_TPU_OVERLAP_CHUNKS", 4))
     max_factor: int = field(
         default_factory=lambda: _env_int("KOFFT_TPU_MAX_FACTOR", 13))
     # feature booleans (analog of cargo features, Cargo.toml:46-62)
@@ -116,6 +121,18 @@ def set_shard_threshold(n: Optional[int]) -> None:
         _config.shard_threshold = _env_defaults.shard_threshold
         return
     _config.shard_threshold = int(n)
+
+
+def set_overlap_chunks(k: Optional[int]) -> None:
+    """Chunk count for the sharded-transform overlap pipeline; ``None``/0
+    reverts to the env/default (analog of ``set_parallel_fft_block_size``,
+    reference fft.rs:195-200). 1 disables overlap (sequential program)."""
+    if k is None or k == 0:
+        _config.overlap_chunks = _env_defaults.overlap_chunks
+        return
+    if k < 1:
+        raise ValueError("overlap_chunks must be >= 1")
+    _config.overlap_chunks = int(k)
 
 
 def trace_key() -> tuple:

@@ -67,6 +67,7 @@ def fft_auto(xr, xi, axis_name: str = "d", inverse: bool = False):
 
     Returns (yr, yi) in natural order; sharded results keep their device
     sharding — ``np.asarray`` gathers."""
+    from ..config import get_config
     from ..ops.fft import fft_split
     from .fft_sharded import _split_for_mesh, fft_sharded
     d = _usable_devices()
@@ -74,9 +75,15 @@ def fft_auto(xr, xi, axis_name: str = "d", inverse: bool = False):
     n = shape[-1] if shape else 0
     if (d > 1 and len(shape) == 1 and should_shard(n, d)
             and _split_for_mesh(n, d) is not None):
+        # largest overlap chunking <= the configured count that divides
+        # both factors: collectives then overlap the per-chunk DFTs
+        n1, n2 = _split_for_mesh(n, d)
+        k = max(1, get_config().overlap_chunks)
+        while k > 1 and (n1 % (d * k) or n2 % (d * k)):
+            k //= 2
         return fft_sharded(xr, xi, mesh=make_mesh(d, axis_name),
                            axis_name=axis_name, inverse=inverse,
-                           restore_layout=True)
+                           restore_layout=True, overlap=k)
     return fft_split(xr, xi, inverse=inverse)
 
 

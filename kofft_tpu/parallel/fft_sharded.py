@@ -21,6 +21,12 @@ matrix, rows sharded over the mesh:
 
 Communication: 2 (3 with restore) all_to_alls moving (D-1)/D of the array
 each — the canonical volume, constant per chip in weak scaling.
+
+``overlap=K`` replaces the sequential compute -> all_to_all -> compute
+barriers with K independent chunk chains per stage (``_build_overlap``):
+chunk k+1's collective flies while chunk k's DFT runs. Volume is
+unchanged; the HLO dependency structure (2K independent collective
+sources vs 2) is machine-checked by ``validate``.
 """
 
 from __future__ import annotations

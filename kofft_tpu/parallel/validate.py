@@ -117,7 +117,8 @@ def fft_sharded_expected_a2a_bytes(n: int, d: int,
 
 def check_fft_sharded_comm_volume(n: int, mesh, axis_name: str = "d",
                                   restore_layout: bool = True,
-                                  backend: str = "xla") -> dict:
+                                  backend: str = "xla",
+                                  overlap: int = 1) -> dict:
     """Compile the sharded FFT for (n, mesh) and verify the HLO moves
     exactly the canonical all_to_all volume. Returns a report dict;
     raises AssertionError on mismatch (more collective traffic than the
@@ -125,7 +126,11 @@ def check_fft_sharded_comm_volume(n: int, mesh, axis_name: str = "d",
 
     The *cross-chip* fraction of the audited local volume is (D-1)/D by
     the all_to_all contract; auditing local participation pins the same
-    invariant without modeling the interconnect."""
+    invariant without modeling the interconnect. The ``overlap=K``
+    pipeline must move the SAME canonical bytes (only the granularity
+    changes: 2K + K chunk collectives instead of 2 + 1); the report
+    additionally carries the dependency audit
+    (:func:`hlo_a2a_independent_sources`)."""
     import jax
     import numpy as np
 
@@ -136,14 +141,15 @@ def check_fft_sharded_comm_volume(n: int, mesh, axis_name: str = "d",
     split = _split_for_mesh(n, d)
     assert split is not None, f"n={n} does not factorize for d={d}"
     fn, sharding = _build(_mesh_key(mesh, axis_name), n, split[0], split[1],
-                          backend, restore_layout, trace_key())
+                          backend, restore_layout, trace_key(), overlap)
     x = jax.device_put(np.zeros(n, np.float32), sharding)
     txt = fn.lower(x, x).compile().as_text()
     got = hlo_all_to_all_local_bytes(txt)
     want = fft_sharded_expected_a2a_bytes(n, d, restore_layout)
     assert got == want, (
         f"all_to_all local volume {got} B != canonical {want} B "
-        f"(n={n}, d={d}, restore={restore_layout})")
+        f"(n={n}, d={d}, restore={restore_layout}, overlap={overlap})")
+    dep = hlo_a2a_independent_sources(txt)
     return {"n": n, "d": d, "restore_layout": restore_layout,
-            "local_a2a_bytes": got,
-            "cross_chip_bytes": got * (d - 1) // d}
+            "overlap": overlap, "local_a2a_bytes": got,
+            "cross_chip_bytes": got * (d - 1) // d, **dep}

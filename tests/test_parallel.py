@@ -339,3 +339,111 @@ def test_calibrate_shard_threshold_bounded_upward_scan(mesh):
         assert get_config().shard_threshold == before
     finally:
         set_shard_threshold(None)
+
+
+# --------------------------------------------------------------------------
+# communication/compute overlap pipeline (r3, VERDICT item 1)
+# --------------------------------------------------------------------------
+
+def test_fft_sharded_overlap_parity(mesh, rng):
+    """The chunked overlap pipeline returns the sequential program's
+    natural-order spectrum bit-compatibly (same algorithm, same twiddle
+    phases, different collective granularity)."""
+    from kofft_tpu.parallel.fft_sharded import fft_sharded, ifft_sharded
+    n = 1 << 13
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    seq_r, seq_i = fft_sharded(xr, xi, mesh=mesh, restore_layout=True)
+    seq = np.asarray(seq_r) + 1j * np.asarray(seq_i)
+    for k in (2, 4):
+        yr, yi = fft_sharded(xr, xi, mesh=mesh, restore_layout=True,
+                             overlap=k)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(ref, got) > SNR
+        assert snr_db(seq, got) > SNR
+    # inverse roundtrip through the pipeline
+    br, bi = ifft_sharded(np.asarray(seq_r), np.asarray(seq_i), mesh=mesh,
+                          restore_layout=True, overlap=4)
+    assert snr_db(xr + 1j * xi,
+                  np.asarray(br) + 1j * np.asarray(bi)) > SNR - 5
+
+
+def test_fftn_sharded_overlap_parity(mesh, rng):
+    from kofft_tpu.parallel.ndfft_sharded import fftn_sharded
+    for shape in ((32, 64), (16, 8, 32)):
+        xr = rng.standard_normal(shape).astype(np.float32)
+        xi = rng.standard_normal(shape).astype(np.float32)
+        ref = np.fft.fftn(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        for k in (2,):
+            yr, yi = fftn_sharded(xr, xi, mesh=mesh, restore_layout=True,
+                                  overlap=k)
+            assert np.asarray(yr).shape == shape
+            assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+
+
+def test_overlap_comm_volume_and_independence(mesh):
+    """Two machine-checked pipeline invariants (VERDICT r3 item 1 'Done'
+    criteria): (a) the overlap program moves EXACTLY the canonical
+    collective bytes — only granularity changes; (b) the HLO dependency
+    graph has 2K mutually independent collective source chains (the
+    schedulability property the latency-hiding scheduler exploits),
+    vs exactly 2 for the sequential program."""
+    from kofft_tpu.parallel.validate import check_fft_sharded_comm_volume
+    n = 1 << 13
+    rep1 = check_fft_sharded_comm_volume(n, mesh, restore_layout=True,
+                                         overlap=1)
+    assert rep1["total"] == 6 and rep1["independent_sources"] == 2
+    for k in (2, 4):
+        rep = check_fft_sharded_comm_volume(n, mesh, restore_layout=True,
+                                            overlap=k)
+        assert rep["local_a2a_bytes"] == rep1["local_a2a_bytes"]
+        assert rep["total"] == 6 * k
+        assert rep["independent_sources"] == 2 * k
+
+
+def test_fftn_overlap_independence(mesh):
+    import jax
+    from kofft_tpu.config import trace_key
+    from kofft_tpu.parallel.ndfft_sharded import _build, _mesh_key
+    from kofft_tpu.parallel.validate import hlo_a2a_independent_sources
+    fn, sh = _build(_mesh_key(mesh, "d"), 2, False, "xla", True,
+                    trace_key(), 4)
+    x = jax.device_put(np.zeros((32, 64), np.float32), sh)
+    txt = fn.lower(x, x).compile().as_text()
+    rep = hlo_a2a_independent_sources(txt)
+    assert rep["total"] == 16 and rep["independent_sources"] == 8
+
+
+def test_overlap_validation_errors(mesh):
+    from kofft_tpu.errors import InvalidValueError
+    from kofft_tpu.parallel.fft_sharded import fft_sharded
+    from kofft_tpu.parallel.ndfft_sharded import fftn_sharded
+    x = np.zeros(1 << 12, np.float32)
+    with pytest.raises(InvalidValueError):   # overlap without restore
+        fft_sharded(x, x, mesh=mesh, overlap=2)
+    with pytest.raises(InvalidValueError):   # factors don't divide d*K
+        fft_sharded(x, x, mesh=mesh, restore_layout=True, overlap=64)
+    x2 = np.zeros((16, 16), np.float32)
+    with pytest.raises(InvalidValueError):
+        fftn_sharded(x2, x2, mesh=mesh, restore_layout=True, overlap=4)
+
+
+def test_fft_auto_uses_overlap_when_divisible(mesh, rng):
+    """fft_auto picks the largest configured overlap that divides the
+    factorization and still returns the natural-order spectrum."""
+    from kofft_tpu.config import set_overlap_chunks, set_shard_threshold
+    from kofft_tpu.parallel import fft_auto
+    n = 1 << 13
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    try:
+        set_shard_threshold(1)
+        for k in (1, 4):
+            set_overlap_chunks(k)
+            yr, yi = fft_auto(xr, xi)
+            assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+    finally:
+        set_shard_threshold(None)
+        set_overlap_chunks(None)
