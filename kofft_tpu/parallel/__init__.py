@@ -14,3 +14,5 @@ from .fft_sharded import fft_sharded, ifft_sharded  # noqa: F401
 from .stft_sharded import stft_sharded, istft_sharded  # noqa: F401
 from .auto import (calibrate_shard_threshold, fft_auto, fftn_auto,  # noqa: F401
                    istft_auto, stft_auto)
+from .hier import (fft_sharded_hier, fftn_sharded_hier,  # noqa: F401
+                   ifft_sharded_hier, ifftn_sharded_hier, make_hier_mesh)

@@ -14,7 +14,8 @@ from __future__ import annotations
 import re
 
 __all__ = ["hlo_all_to_all_local_bytes", "fft_sharded_expected_a2a_bytes",
-           "check_fft_sharded_comm_volume", "hlo_a2a_independent_sources"]
+           "check_fft_sharded_comm_volume", "hlo_a2a_independent_sources",
+           "hlo_a2a_bytes_by_group_size"]
 
 _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8,
                 "c128": 16, "s32": 4, "u32": 4}
@@ -56,6 +57,39 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
             op_bytes += elems * _DTYPE_BYTES[dt]
         total += op_bytes
     return total
+
+
+_GROUPS = re.compile(r"replica_groups=\{(\{[\d,]+\})")
+
+
+def hlo_a2a_bytes_by_group_size(compiled_text: str) -> dict:
+    """Per-axis collective volume audit for hierarchical (slice, chip)
+    programs: local all-to-all bytes keyed by the op's replica-group
+    size. On a two-level mesh the intra-slice (ICI) legs have groups of
+    ``chips_per_slice`` and the inter-slice (DCN) legs groups of
+    ``n_slices`` — so the returned dict states exactly how many bytes
+    ride each interconnect tier (SURVEY §5.8's ICI/DCN split as a
+    checked property)."""
+    out: dict[int, int] = {}
+    for m in _A2A_DEF.finditer(compiled_text):
+        if m.group(1) == "-start":
+            continue
+        # the op's attributes follow the operand list on the same line
+        line_end = compiled_text.find("\n", m.end())
+        attrs = compiled_text[m.end(): line_end if line_end > 0 else None]
+        g = _GROUPS.search(attrs)
+        size = len(g.group(1).strip("{}").split(",")) if g else 0
+        op_bytes = 0
+        for dt, dims in _SHAPE.findall(m.group(2)):
+            if dt in ("s32", "u32"):
+                continue
+            elems = 1
+            for dd in dims.split(","):
+                if dd:
+                    elems *= int(dd)
+            op_bytes += elems * _DTYPE_BYTES[dt]
+        out[size] = out.get(size, 0) + op_bytes
+    return out
 
 
 _OP_DEF = re.compile(r"\s*(%[\w.\-]+)\s*=")
