@@ -53,6 +53,26 @@ if d > 1:
     fr, fi = stft_sharded(sig, W.hann(win), hop, mesh=mesh)
     print(f"stft_sharded: frames {fr.shape} sharded over the mesh")
 
+    # comm/compute overlap: K independent chunk chains per stage, so
+    # chunk k+1's all_to_all flies during chunk k's DFT
+    n = (2 * d) ** 2
+    sigr = rng.standard_normal(n).astype(np.float32)
+    or_, oi_ = fft_sharded(sigr, np.zeros(n, np.float32), mesh=mesh,
+                           restore_layout=True, overlap=2)
+    base_r, _ = fft_sharded(sigr, np.zeros(n, np.float32), mesh=mesh,
+                            restore_layout=True)
+    err = np.abs(np.asarray(or_) - np.asarray(base_r)).max()
+    print(f"fft_sharded overlap=2: matches sequential to {err:.2e}")
+
+    # two-level (slice, chip) hierarchy: every re-pencil runs as an
+    # intra-slice (ICI) then inter-slice (DCN) all_to_all
+    if d >= 4 and d % 2 == 0:
+        from kofft_tpu.parallel import fft_sharded_hier, make_hier_mesh
+        hm = make_hier_mesh(2, d // 2)
+        hr, hi = fft_sharded_hier(sigr, np.zeros(n, np.float32), mesh=hm)
+        err = np.abs(np.asarray(hr) - np.asarray(base_r)).max()
+        print(f"fft_sharded_hier (2, {d // 2}): matches flat to {err:.2e}")
+
 # auto dispatch: the points-per-chip gate decides single-chip vs sharded
 # (the reference's Rayon threshold heuristic, src/fft.rs:244-307)
 n = 1 << 12

@@ -186,6 +186,11 @@ class BenchRecord:
     # rows in the history
     measurement_mode: str = dataclasses.field(
         default_factory=lambda: last_measurement_mode())
+    # accuracy column for precision-tier rows (vs the f64 oracle): the
+    # 'default' 3-pass tier trades ~47 dB for ~2x — recording SNR beside
+    # the time makes the trade a visible, regression-tracked product
+    # tier rather than a footnote (VERDICT r2 item 3)
+    snr_db: Optional[float] = None
 
     def to_dict(self):
         return dataclasses.asdict(self)

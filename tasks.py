@@ -46,6 +46,14 @@ def cmd_bench(_args) -> int:
     return subprocess.call([sys.executable, "bench.py"], cwd=REPO)
 
 
+def cmd_coverage(_args) -> int:
+    """Vendored stdlib-only 90% line-coverage gate (writes
+    benchmarks/coverage.json)."""
+    return subprocess.call(
+        [sys.executable, "tools/coverage_gate.py", "--fail-under", "90"],
+        cwd=REPO)
+
+
 def cmd_lint(_args) -> int:
     """Byte-compile every source file (import-safety gate)."""
     import compileall
@@ -118,16 +126,18 @@ def cmd_update_bench_readme(_args) -> int:
         f"Environment: {env['platform']} ({', '.join(env['devices'])}), "
         f"jax {env['jax_version']}, run {env['timestamp']}.",
         "",
-        "| Library | Transform | N | Mode | Time/op | Ops/sec | vs prev |",
-        "|---|---|---|---|---|---|---|",
+        "| Library | Transform | N | Mode | Time/op | Ops/sec | SNR | vs prev |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in doc["records"]:
         tpo = r["time_per_op_ns"]
         t = (f"{tpo / 1e6:.3f} ms" if tpo >= 1e6 else f"{tpo / 1e3:.1f} us")
         chg = ("" if r.get("change_vs_prev") is None
                else f"{r['change_vs_prev'] * 100:+.1f}%")
+        snr = ("" if r.get("snr_db") is None else f"{r['snr_db']:.1f} dB")
         lines.append(f"| {r['library']} | {r['transform']} | {r['size']} | "
-                     f"{r['mode']} | {t} | {r['ops_per_sec']:.1f} | {chg} |")
+                     f"{r['mode']} | {t} | {r['ops_per_sec']:.1f} | {snr} "
+                     f"| {chg} |")
     (REPO / "benchmarks" / "README.md").write_text("\n".join(lines) + "\n")
     print("benchmarks/README.md updated")
     return 0
@@ -141,6 +151,7 @@ def main(argv=None) -> int:
     t.add_argument("-k", default=None)
     t.add_argument("-x", action="store_true")
     sub.add_parser("bench")
+    sub.add_parser("coverage")
     sub.add_parser("lint")
     s = sub.add_parser("sanity")
     s.add_argument("--out", default=None)
@@ -150,6 +161,7 @@ def main(argv=None) -> int:
     sub.add_parser("examples")
     args = p.parse_args(argv)
     return {"info": cmd_info, "test": cmd_test, "bench": cmd_bench,
+            "coverage": cmd_coverage,
             "lint": cmd_lint, "sanity": cmd_sanity,
             "update-bench-readme": cmd_update_bench_readme,
             "web": cmd_web, "examples": cmd_examples}[args.cmd](args)

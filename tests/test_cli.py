@@ -180,3 +180,55 @@ def test_non_wav_without_ffmpeg_errors(tmp_path, monkeypatch):
 def test_prewarm():
     from kofft_tpu.utils.observability import prewarm
     prewarm([64], rfft_sizes=[64])  # smoke: compiles without error
+
+
+def test_sanity_check_main_inprocess(tmp_path, wav_440):
+    """The CLI entry in-process (the subprocess golden test above cannot
+    be traced by in-process coverage tooling; this pins the same path
+    for tools/coverage_gate.py and exercises every flag branch)."""
+    from kofft_tpu.cli.sanity_check import main
+    out8 = tmp_path / "t8.png"
+    rc = main([str(wav_440), str(out8), "--win-len", "128",
+               "--colormap", "fire", "--scale-mode", "log",
+               "--dynamic-range", "90"])
+    assert rc == 0 and out8.exists() and out8.stat().st_size > 0
+    out16 = tmp_path / "t16.png"
+    rc = main([str(wav_440), str(out16),
+               "--win-len", "128", "--png-depth", "sixteen"])
+    assert rc == 0 and out16.exists()
+    svg = tmp_path / "t.svg"
+    rc = main([str(wav_440), str(svg), "--win-len", "128"])
+    assert rc == 0 and b"<svg" in svg.read_bytes()
+    # error path: unreadable input
+    rc = main([str(tmp_path / "missing.wav"), str(tmp_path / "x.png")])
+    assert rc == 1
+
+
+def test_bench_harness_inprocess(tmp_path, monkeypatch):
+    """timeit_chained's differential slope machinery + the JSON-history
+    rotation, in-process on CPU (the real-chip numbers come from
+    bench.py; this pins the mechanism)."""
+    import jax.numpy as jnp
+    from kofft_tpu.bench.harness import (BenchRecord, last_measurement_mode,
+                                         run_history, timeit_chained,
+                                         timeit_chained_scalar)
+    t = timeit_chained(lambda p: (p[0] + 1.0,),
+                       (jnp.zeros(8, jnp.float32),), iters=4,
+                       target_time=0.002)
+    assert t > 0 and last_measurement_mode() in ("slope", "upper_bound")
+    ts = timeit_chained_scalar(
+        lambda a, acc: acc + jnp.sum(a) * 1e-9,
+        jnp.ones(8, jnp.float32), iters=4, target_time=0.002)
+    assert ts > 0
+    rec = BenchRecord("kofft_tpu", "unit", 8, "test", t * 1e9, 1.0 / t,
+                      "cpu", snr_db=100.0)
+    doc1 = run_history([rec], out_dir=tmp_path)
+    assert doc1["records"][0]["prev_time_per_op_ns"] is None
+    assert doc1["environment"]["shard_threshold"] > 0
+    rec2 = BenchRecord("kofft_tpu", "unit", 8, "test", t * 2e9, 0.5 / t,
+                       "cpu")
+    doc2 = run_history([rec2], out_dir=tmp_path)
+    r2 = doc2["records"][0]
+    assert r2["prev_time_per_op_ns"] == rec.time_per_op_ns
+    assert abs(r2["change_vs_prev"] - 1.0) < 1e-6
+    assert (tmp_path / "previous.json").exists()
