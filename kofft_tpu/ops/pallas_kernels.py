@@ -610,6 +610,11 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 # composed behind the custom-call boundary even though it fuses to ~1 us
 # in isolation (benchmarks/exp_rfft_public.py is the decomposition).
 _PHASED_MAX_N = 1 << 22
+# complex flat mode stashes the FULL spectrum in the second scratch
+# (2 extra planes: 2n*4 B on top of C's 2n*4 B) — capped one octave
+# below the phased ceiling; the real flat variant stashes only the
+# one-sided half and runs to the full ceiling (2^22 verified on chip)
+_PHASED_FLAT_MAX_N = 1 << 21
 
 
 @functools.lru_cache(maxsize=None)
@@ -630,7 +635,13 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     vs ~31 us for the XLA reshape+concat epilogue behind the custom-call
     boundary (isolated it fuses to ~1 us; benchmarks/exp_rfft_public.py).
     Public rfft lands under the public complex FFT, the reference
-    relationship (/root/reference/benchmarks/README.md:68-72)."""
+    relationship (/root/reference/benchmarks/README.md:68-72).
+
+    Complex flat (``flat=True`` with ``real=False``, b == 1 only): the
+    same third phase for the full spectrum — stage-2 rows stash in the
+    second scratch and phase 3 emits the RANK-1 natural-order (n,)
+    planes (no Nyquist tail; n divides the block width), skipping the
+    (1, n2, n1) -> (1, n) XLA relayout on the way out."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -639,11 +650,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     t = min(_ML_TILE, n1)
     ph1 = n2 // t                      # stage-1 steps (column tiles)
     ph2 = n1 // t                      # stage-2 steps (line tiles)
-    h = n2 // 2                        # one-sided stage-2 rows (rfft)
+    h = n2 // 2 if real else n2        # emitted stage-2 rows
     tk = min(_ML_TILE, h)              # phase-3 spectrum rows per step
     w = tk * n1                        # phase-3 flat block width
-    m_flat = n // 2 + 1                # one-sided flat length
-    ph3 = (h // tk) + 1 if (real and flat) else 0  # + Nyquist tail step
+    m_flat = n // 2 + 1 if real else n  # flat output length
+    # real flat needs a Nyquist tail step; complex flat divides exactly
+    ph3 = 0 if not flat else (h // tk) + (1 if real else 0)
     keys1 = _ml_const_keys(n1)
     keys2 = _ml_const_keys(n2)
     consts1 = _ml_const_arrays(keys1, dtype)
@@ -664,7 +676,7 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         ebr_r, ebi_r, ecr_r, eci_r = rest[:4]
         crefs = rest[4: 4 + nc1 + len(consts2)]
         outs = rest[4 + nc1 + len(consts2):]
-        if real and flat:
+        if flat:
             out_r, out_i, scr_r, scr_i, sc2_r, sc2_i = outs
         elif real:
             out_r, out_i, nyq_r, nyq_i, scr_r, scr_i = outs
@@ -710,8 +722,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             bi = jnp.concatenate(
                 [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
             zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
-            if real and flat:
-                sc2_r[j] = zr[:h]          # one-sided: k2 < n2/2
+            if flat:
+                sc2_r[j] = zr[:h]          # all rows (complex) / k2 < n2/2
                 sc2_i[j] = zi[:h]
             elif real:
                 out_r[0] = zr[:h]          # one-sided: k2 < n2/2
@@ -720,11 +732,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                 out_r[0] = zr              # (n2, t)
                 out_i[0] = zi
 
-        if real and flat:
+        if flat:
             @pl.when(i >= ph1 + ph2)
             def _stage3():
                 p = i - ph1 - ph2
-                is_tail = p == ph3 - 1
+                # complex flat has no tail step (n divides the blocks)
+                is_tail = (p == ph3 - 1) if real else (p < 0)
 
                 @pl.when(jnp.logical_not(is_tail))
                 def _rows():
@@ -763,8 +776,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     data_in = pl.BlockSpec((1, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
-    if real and flat:
-        # RANK-1 flat one-sided output (sublane-dense; see docstring):
+    if flat:
+        # RANK-1 flat output (sublane-dense; see docstring):
         # phase-3 step p writes block p; earlier steps revisit block 0
         # unwritten (kept in VMEM, flushed once written — the same
         # revisited-block pattern as data_out below)
@@ -799,13 +812,13 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     if real and not flat:
         out_specs += [nyq_out, nyq_out]
     scratch = [pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2
-    if real and flat:
+    if flat:
         scratch += [pltpu.VMEM((ph2, h, t), jnp.float32)] * 2
 
     def run(b, ar, ai=None):
         args = (ar,) if real else (ar, ai)
-        if real and flat:
-            assert b == 1, "flat phased rfft serves single transforms"
+        if flat:
+            assert b == 1, "flat phased kernels serve single transforms"
             shapes = [jax.ShapeDtypeStruct((m_flat,), jnp.float32)] * 2
         elif real:
             shapes = [jax.ShapeDtypeStruct((b, h, n1), jnp.float32)] * 2
@@ -855,6 +868,14 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     bt = _ml_batch_tile(b, n1, n2)
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
+    if _use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N:
+        # rank-1 single transform: phase 3 emits the natural-order flat
+        # (n,) planes straight from the second VMEM scratch — no
+        # (1, n2, n1) -> (n,) XLA relayout on the way out (same design
+        # as the flat rfft; rank-1 is the sublane-dense layout)
+        run = _build_phased(n, str(xr.dtype), interpret,
+                            _kernel_precision(), flat=True)
+        return run(1, ar, ai)
     if _use_phased(n, bt):
         run = _build_phased(n, str(xr.dtype), interpret,
                             _kernel_precision())

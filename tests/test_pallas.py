@@ -370,3 +370,23 @@ def test_phased_flat_rfft_rank1_parity(rng):
                                      interpret=True)
     assert np.asarray(yr2).shape == (1, n // 2 + 1)
     assert snr_db(got, np.asarray(yr2)[0] + 1j * np.asarray(yi2)[0]) > 120.0
+
+
+def test_phased_flat_complex_rank1_parity(rng):
+    """The rank-1 flat phased COMPLEX kernel (phase-3 natural-order
+    (n,) emission, r3) matches numpy and the rank-2 tiled path."""
+    from kofft_tpu.ops.pallas_kernels import fused_multilevel_fft
+    n = 1 << 14
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    yr, yi = fused_multilevel_fft(jnp.asarray(xr), jnp.asarray(xi), n,
+                                  interpret=True)
+    assert np.asarray(yr).shape == (n,)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 120.0
+    yr2, yi2 = fused_multilevel_fft(jnp.asarray(xr[None]),
+                                    jnp.asarray(xi[None]), n,
+                                    interpret=True)
+    assert np.asarray(yr2).shape == (1, n)
+    assert snr_db(got, np.asarray(yr2)[0] + 1j * np.asarray(yi2)[0]) > 120.0
