@@ -194,6 +194,14 @@ def main() -> None:
                                    snr_db=rsnr))
         log(f"default-precision tier 2^20: complex {td * 1e6:.1f} us, "
             f"rfft {tdr * 1e6:.1f} us, SNR {dsnr:.1f} dB")
+        # the production-serving batched shape on the throughput tier
+        tdb = timeit_chained(lambda q: kt.fft_split(q[0], q[1]),
+                             (xrb, xib), iters=30)
+        records.append(BenchRecord("kofft_tpu", "complex", n, "batch8_fast",
+                                   tdb * 1e9, 1.0 / tdb, platform,
+                                   snr_db=dsnr))
+        log(f"8x2^20 default tier: {tdb * 1e3:.3f} ms = "
+            f"{bt * n / tdb / 1e9:.2f} Gpts/s")
     finally:
         set_precision(None)
 

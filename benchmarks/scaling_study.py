@@ -21,15 +21,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    max_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    log2_per_chip = int(sys.argv[2]) if len(sys.argv) > 2 else 18
+    # --tpu opts into the real accelerator topology (a pod slice); the
+    # default is the N-virtual-device CPU validation mesh. The platform
+    # decision must NOT probe jax.default_backend() first: that call
+    # initializes a backend and makes the cpu config update a silent
+    # no-op — on a 1-chip attachment every "D-device" mesh then quietly
+    # collapses to one device (found the hard way, r3).
+    use_tpu = "--tpu" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--tpu"]
+    max_dev = int(args[0]) if len(args) > 0 else 8
+    log2_per_chip = int(args[1]) if len(args) > 1 else 18
 
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count="
                                  f"{max_dev}").strip()
     import jax
-    if jax.default_backend() != "tpu" or len(jax.devices()) < max_dev:
+    if not use_tpu:
         jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            raise RuntimeError(
+                f"jax resolved backend {jax.default_backend()!r}, not "
+                f"'cpu' — a backend was initialized before main(); run in "
+                f"a fresh process")
+    if len(jax.devices()) < max_dev:
+        raise RuntimeError(
+            f"need {max_dev} devices, have {len(jax.devices())}")
 
     import numpy as np
     from kofft_tpu.parallel import fftn_sharded, make_mesh
@@ -76,6 +92,26 @@ def main() -> None:
         mesh = make_mesh(d)
         return (lambda: fft_sharded(xr, xi, mesh=mesh), n)
 
+    def fft1d_overlap_case(d):
+        # the chunked comm/compute pipeline (overlap=4): on a pod the
+        # collectives hide behind the per-chunk DFTs; on the virtual CPU
+        # mesh this validates the program + the unchanged total volume
+        n = (1 << log2_per_chip) * d
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        mesh = make_mesh(d)
+        return (lambda: fft_sharded(xr, xi, mesh=mesh, restore_layout=True,
+                                    overlap=4), n)
+
+    def fft1d_hier_case(d):
+        # two-level (slice, chip) hierarchy on a (2, d/2) topology
+        from kofft_tpu.parallel import fft_sharded_hier, make_hier_mesh
+        n = (1 << log2_per_chip) * d
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        mesh = make_hier_mesh(2, d // 2)
+        return (lambda: fft_sharded_hier(xr, xi, mesh=mesh), n)
+
     def stft_case(d):
         hop, win = 256, 1024
         n = (1 << log2_per_chip) * d
@@ -88,6 +124,25 @@ def main() -> None:
     sweep("3-D NDFFT (all_to_all pencil)", ndfft_case)
     sweep("1-D FFT (distributed four-step)", fft1d_case)
     sweep("STFT (ppermute halo)", stft_case)
+
+    print("--- overlap pipeline / hierarchy variants (D >= 4) ---")
+
+    def sweep_from(name, run_for_d, ds):
+        print(f"--- {name} ---")
+        for d in [x for x in ds if x <= max_dev]:
+            fn, pts = run_for_d(d)
+            jax.block_until_ready(fn())
+            t0 = time.perf_counter()
+            for _ in range(5):
+                jax.block_until_ready(fn())
+            dt = (time.perf_counter() - t0) / 5
+            print(f"D={d:2d}  {dt * 1e3:8.2f} ms  "
+                  f"{pts / dt / 1e6:8.1f} Mpts/s")
+
+    sweep_from("1-D FFT overlap=4 (chunked pipeline)", fft1d_overlap_case,
+               (4, 8, 16))
+    sweep_from("1-D FFT hierarchical (2, D/2) slice/chip", fft1d_hier_case,
+               (4, 8, 16))
 
     # machine-checked invariant: the compiled 1-D program moves EXACTLY
     # the canonical all_to_all volume per chip ((D-1)/D x local bytes per
