@@ -599,6 +599,13 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 # larger sizes stay on the two-call kernels. (2^22 A/B: phased 800.2 us
 # vs two-call 826.5 — phased still wins at the cap.)
 #
+# r3 negative result (do not retry): a phase-0 that streams the RANK-1
+# flat input into an input scratch inside the kernel (contiguous stripe
+# reads + per-chunk lane-slice scatter, replacing the XLA (n,) ->
+# (1, n1, n2) input relayout) measured 153.9 us vs 141.1 at 2^20 — the
+# in-kernel chunk scatter costs MORE than XLA's native relayout, and
+# compile time grows ~2x. Flat mode therefore keeps the XLA input
+# relayout and only the OUTPUT side is kernel-emitted.
 # Public-path note (r3): rank-1 operands are the fast public form —
 # the flat<->tiled relayouts around the kernel cost less for 1-D arrays
 # than for (1, n) rank-2 (complex fft_split 142.5 vs 157.5 us at 2^20).
