@@ -89,14 +89,15 @@ def _twiddle_consts(n: int, n1: int, n2: int, d: int, dtype: str,
 
 @functools.lru_cache(maxsize=None)
 def _build(mesh_key, n: int, n1: int, n2: int, backend: str,
-           restore_layout: bool, ck: tuple = (), overlap: int = 1):
+           restore_layout: bool, ck: tuple = (), overlap: int = 1,
+           dtype: str = "float32"):
     mesh, axis_name = _MESHES[mesh_key]
     d = mesh.shape[axis_name]
     m1 = n1 // d
     if overlap > 1:
         return _build_overlap(mesh, axis_name, n, n1, n2, d, backend,
-                              overlap)
-    br, bi, cr, ci = _twiddle_consts(n, n1, n2, d, "float32")
+                              overlap, dtype)
+    br, bi, cr, ci = _twiddle_consts(n, n1, n2, d, dtype)
 
     def body(xr, xi):  # local flat shard (m1 * n2,)
         xr = xr.reshape(m1, n2)
@@ -109,7 +110,7 @@ def _build(mesh_key, n: int, n1: int, n2: int, backend: str,
         # 2. DFT over j1: move it last
         xr = jnp.swapaxes(xr, 0, 1)                       # (n2/d, n1)
         xi = jnp.swapaxes(xi, 0, 1)
-        yr, yi = _fft_planes(xr, xi, n1, False, backend, "float32")
+        yr, yi = _fft_planes(xr, xi, n1, False, backend, dtype)
         # 3. separable twiddle for this chip's j2 range
         me = jax.lax.axis_index(axis_name)
         crow_r = jax.lax.dynamic_index_in_dim(jnp.asarray(cr), me, axis=0,
@@ -128,7 +129,7 @@ def _build(mesh_key, n: int, n1: int, n2: int, backend: str,
         # 5. DFT over j2: move it last
         tr = jnp.swapaxes(tr, 0, 1)                       # (m1, n2)
         ti = jnp.swapaxes(ti, 0, 1)
-        zr, zi = _fft_planes(tr, ti, n2, False, backend, "float32")
+        zr, zi = _fft_planes(tr, ti, n2, False, backend, dtype)
         # shard holds X[k1 + n1*k2] at [k1_local, k2]
         if not restore_layout:
             return zr.reshape(m1 * n2), zi.reshape(m1 * n2)
@@ -147,7 +148,7 @@ def _build(mesh_key, n: int, n1: int, n2: int, backend: str,
 
 
 def _build_overlap(mesh, axis_name: str, n: int, n1: int, n2: int, d: int,
-                   backend: str, k_chunks: int):
+                   backend: str, k_chunks: int, dtype: str = "float32"):
     """Chunked double-buffered four-step: communication/compute overlap.
 
     The strictly sequential program (compute -> all_to_all -> compute)
@@ -181,7 +182,7 @@ def _build_overlap(mesh, axis_name: str, n: int, n1: int, n2: int, d: int,
             f"overlap={k_chunks} needs n1={n1} and n2={n2} divisible by "
             f"mesh_size*overlap = {d * k_chunks}")
     m1 = n1 // d
-    br, bi, c2r, c2i = _twiddle_consts(n, n1, n2, d, "float32", k_chunks)
+    br, bi, c2r, c2i = _twiddle_consts(n, n1, n2, d, dtype, k_chunks)
     ca = n2 // k_chunks            # stage-A chunk columns
     ra = ca // d                   # stage-A per-chip rows per chunk
     cb = n1 // k_chunks            # stage-B chunk columns
@@ -202,7 +203,7 @@ def _build_overlap(mesh, axis_name: str, n: int, n1: int, n2: int, d: int,
                                     tiled=True)
             ar = jnp.swapaxes(ar, 0, 1)                   # (ra, n1)
             ai = jnp.swapaxes(ai, 0, 1)
-            yr, yi = _fft_planes(ar, ai, n1, False, backend, "float32")
+            yr, yi = _fft_planes(ar, ai, n1, False, backend, dtype)
             row = k * d + me
             crow_r = jax.lax.dynamic_index_in_dim(jnp.asarray(c2r), row,
                                                   axis=0, keepdims=False)
@@ -232,7 +233,7 @@ def _build_overlap(mesh, axis_name: str, n: int, n1: int, n2: int, d: int,
             si = si.reshape(d, k_chunks, ra, rb).transpose(1, 0, 2, 3)
             sr = jnp.swapaxes(sr.reshape(n2, rb), 0, 1)   # (rb, n2)
             si = jnp.swapaxes(si.reshape(n2, rb), 0, 1)
-            zr, zi = _fft_planes(sr, si, n2, False, backend, "float32")
+            zr, zi = _fft_planes(sr, si, n2, False, backend, dtype)
             # restore: gather this chunk's k1 across chips, split k2
             zr = jax.lax.all_to_all(zr, axis_name, split_axis=1,
                                     concat_axis=0, tiled=True)  # (cb, n2/d)
@@ -292,7 +293,8 @@ def fft_sharded(xr, xi, mesh: Optional[Mesh] = None, axis_name: str = "d",
                              n1=split[0], overlap=overlap)
         return yr / n, -yi / n
     fn, sharding = _build(_mesh_key(mesh, axis_name), n, split[0], split[1],
-                          backend, restore_layout, trace_key(), overlap)
+                          backend, restore_layout, trace_key(), overlap,
+                          str(xr.dtype))
     xr = jax.device_put(xr, sharding)
     xi = jax.device_put(xi, sharding)
     return fn(xr, xi)

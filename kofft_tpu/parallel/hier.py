@@ -91,14 +91,14 @@ def _a2a(x, name, split_axis, concat_axis):
 
 @functools.lru_cache(maxsize=None)
 def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
-                    ck: tuple = ()):
+                    ck: tuple = (), dtype: str = "float32"):
     mesh = _MESHES2[mesh_key]
     s_name, c_name = mesh.axis_names
     s, c = mesh.devices.shape
     d = s * c
     m1 = n1 // d
     r1 = n2 // d                       # per-chip j2 rows after re-pencil
-    br, bi, c2r, c2i = _hier_twiddles(n, n1, n2, s, c, "float32")
+    br, bi, c2r, c2i = _hier_twiddles(n, n1, n2, s, c, dtype)
 
     def body(xr, xi):                  # local flat shard (m1 * n2,)
         xr = xr.reshape(m1, n2)
@@ -117,7 +117,7 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
         xi = repencil(xi)
         xr = jnp.swapaxes(xr, 0, 1)    # (r1, n1)
         xi = jnp.swapaxes(xi, 0, 1)
-        yr, yi = _fft_planes(xr, xi, n1, False, backend, "float32")
+        yr, yi = _fft_planes(xr, xi, n1, False, backend, dtype)
         row = me_s * c + me_c
         crow_r = jax.lax.dynamic_index_in_dim(jnp.asarray(c2r), row,
                                               axis=0, keepdims=False)
@@ -143,7 +143,7 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
         ti = repencil2(ti)
         tr = jnp.swapaxes(tr, 0, 1)    # (n1/d, n2)
         ti = jnp.swapaxes(ti, 0, 1)
-        zr, zi = _fft_planes(tr, ti, n2, False, backend, "float32")
+        zr, zi = _fft_planes(tr, ti, n2, False, backend, dtype)
 
         def restore(a):
             # gather k1 (rows), split k2 (cols); rows arrive nested
@@ -198,7 +198,7 @@ def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
                                   n1=split[0])
         return yr / n, -yi / n
     fn, sharding = _build_fft_hier(_mesh2_key(mesh), n, split[0], split[1],
-                                   backend, trace_key())
+                                   backend, trace_key(), str(xr.dtype))
     xr = jax.device_put(xr, sharding)
     xi = jax.device_put(xi, sharding)
     return fn(xr, xi)

@@ -44,7 +44,10 @@ class StreamingSpectrogram:
         self.floor_db = floor_db
         self._window = _window.hann(win_len)
         self._cmap = Colormap.parse(colormap)
-        self._stream = _stft.StftPushStream(self._window, hop)
+        # one-sided: the spectrogram uses only win//2 bins, and the
+        # real-input kernel path halves the FFT write traffic
+        self._stream = _stft.StftPushStream(self._window, hop,
+                                            onesided=True)
         self._max_mag = 1e-12
         # one state instance is shared across ThreadingHTTPServer handler
         # threads; without the lock two concurrent pushes race on the
@@ -57,7 +60,8 @@ class StreamingSpectrogram:
 
     def reset(self) -> None:
         with self._lock:
-            self._stream = _stft.StftPushStream(self._window, self.hop)
+            self._stream = _stft.StftPushStream(self._window, self.hop,
+                                                onesided=True)
             self._max_mag = 1e-12
             self._cmap = Colormap.RAINBOW
 
