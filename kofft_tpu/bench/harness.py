@@ -237,6 +237,7 @@ def run_history(records: list[BenchRecord],
             "precision": cfg.precision,
             "shard_threshold": cfg.shard_threshold,
             "dft_cutoff": cfg.dft_cutoff,
+            "overlap_chunks": cfg.overlap_chunks,
         },
         "records": [r.to_dict() for r in records],
     }

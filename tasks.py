@@ -46,6 +46,37 @@ def cmd_bench(_args) -> int:
     return subprocess.call([sys.executable, "bench.py"], cwd=REPO)
 
 
+def cmd_chipcheck(_args) -> int:
+    """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
+    test mesh caps interpret-mode parity at 2^15; this drives the
+    public API at 2^20..2^22 on the real chip and reports SNR vs the
+    float64 oracle (>= 130 dB = the phased kernel's scratch
+    choreography is correct at real sizes)."""
+    code = """
+import numpy as np, jax.numpy as jnp
+import kofft_tpu as kt
+from kofft_tpu.ops.dft import snr_db
+rng = np.random.default_rng(11)
+ok = True
+for p in (20, 21, 22):
+    n = 1 << p
+    xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    yr, yi = kt.fft_split(xr, xi)
+    ref = np.fft.fft(np.asarray(xr).astype(np.float64)
+                     + 1j * np.asarray(xi).astype(np.float64))
+    s = snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi))
+    hr, hi = kt.rfft_split(xr)
+    sr = snr_db(np.fft.rfft(np.asarray(xr).astype(np.float64)),
+                np.asarray(hr) + 1j * np.asarray(hi))
+    print(f"2^{p}: complex {s:.1f} dB, rfft {sr:.1f} dB")
+    ok &= s > 130 and sr > 130
+print("chipcheck:", "OK" if ok else "FAILED")
+raise SystemExit(0 if ok else 1)
+"""
+    return subprocess.call([sys.executable, "-c", code], cwd=REPO)
+
+
 def cmd_coverage(_args) -> int:
     """Vendored stdlib-only 90% line-coverage gate (writes
     benchmarks/coverage.json)."""
@@ -151,6 +182,7 @@ def main(argv=None) -> int:
     t.add_argument("-k", default=None)
     t.add_argument("-x", action="store_true")
     sub.add_parser("bench")
+    sub.add_parser("chipcheck")
     sub.add_parser("coverage")
     sub.add_parser("lint")
     s = sub.add_parser("sanity")
@@ -161,7 +193,7 @@ def main(argv=None) -> int:
     sub.add_parser("examples")
     args = p.parse_args(argv)
     return {"info": cmd_info, "test": cmd_test, "bench": cmd_bench,
-            "coverage": cmd_coverage,
+            "chipcheck": cmd_chipcheck, "coverage": cmd_coverage,
             "lint": cmd_lint, "sanity": cmd_sanity,
             "update-bench-readme": cmd_update_bench_readme,
             "web": cmd_web, "examples": cmd_examples}[args.cmd](args)
