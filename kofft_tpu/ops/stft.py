@@ -409,6 +409,12 @@ class StftPushStream:
         self._onesided = onesided
         self._backend = _resolve_planes_backend(backend)
         self._buf = np.zeros(0, dtype=self._w.dtype)
+        # global stream bookkeeping: buf[0] sits at stream index _start,
+        # the next unemitted frame begins at _pos. Draining by k*hop
+        # alone desynchronizes when hop > win (the drain can exceed the
+        # buffer and the inter-frame gap is silently lost)
+        self._start = 0
+        self._pos = 0
 
     @property
     def buffered(self) -> int:
@@ -427,20 +433,30 @@ class StftPushStream:
                                  trace_key())(seg)
         return np.asarray(fr)[:k], np.asarray(fi)[:k]
 
+    def _empty(self):
+        kdim = (self._w.shape[0] // 2 + 1 if self._onesided
+                else self._w.shape[0])
+        z = np.zeros((0, kdim), dtype=self._w.dtype)
+        return z, z.copy()
+
     def push(self, samples):
         """Buffer ``samples``; returns (re, im) planes of shape (k, K)
         for the k frames this chunk completed (k may be 0)."""
         s = np.asarray(samples, dtype=self._w.dtype).ravel()
         self._buf = np.concatenate([self._buf, s])
         win, hop = self._w.shape[0], self._hop
-        b = self._buf.size
-        kdim = win // 2 + 1 if self._onesided else win
-        if b < win:
-            z = np.zeros((0, kdim), dtype=self._w.dtype)
-            return z, z.copy()
-        k = (b - win) // hop + 1
-        out = self._run_chunk(self._buf[: win + (k - 1) * hop], k)
-        self._buf = self._buf[k * hop:]
+        end = self._start + self._buf.size
+        if self._pos + win > end:
+            return self._empty()
+        k = (end - win - self._pos) // hop + 1
+        off = self._pos - self._start
+        out = self._run_chunk(self._buf[off: off + win + (k - 1) * hop], k)
+        self._pos += k * hop
+        # drop consumed samples; with hop > win the next frame start can
+        # lie beyond the buffer — _pos remembers the gap to skip
+        drop = min(self._buf.size, self._pos - self._start)
+        self._start += drop
+        self._buf = self._buf[drop:]
         return out
 
     def flush(self):
@@ -448,14 +464,16 @@ class StftPushStream:
         tail), then reset; offline parity: push+flush emits exactly
         ``ceil(total/hop)`` frames."""
         win, hop = self._w.shape[0], self._hop
-        b = self._buf.size
-        kdim = win // 2 + 1 if self._onesided else win
-        if b == 0:
-            z = np.zeros((0, kdim), dtype=self._w.dtype)
-            return z, z.copy()
-        k = num_frames(b, hop)
-        out = self._run_chunk(self._buf, k)
+        end = self._start + self._buf.size
+        if self._pos >= end:
+            out = self._empty()
+        else:
+            k = -(-(end - self._pos) // hop)
+            off = self._pos - self._start
+            out = self._run_chunk(self._buf[off:], k)
         self._buf = np.zeros(0, dtype=self._w.dtype)
+        self._start = 0
+        self._pos = 0
         return out
 
 

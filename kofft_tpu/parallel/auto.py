@@ -175,14 +175,15 @@ def calibrate_shard_threshold(axis_name: str = "d",
     n = int(probe_points)
     first = _shard_wins(n)
     if first:
+        best = n // d                      # threshold is points-per-chip
         for _ in range(4):                 # scan down: smallest winning n
-            best = n // d                  # threshold is points-per-chip
             n //= 2
             if n < 1 << 10:
                 break
             win = _shard_wins(n)
             if not win:
                 break
+            best = n // d                  # deepest measured win counts
     elif first is not None:
         for _ in range(4):                 # scan up: does sharding EVER pay?
             n *= 2

@@ -33,6 +33,21 @@ _A2A_DEF = re.compile(
 _SHAPE = re.compile(r"(f32|f64|bf16|f16|c64|c128|s32|u32)\[([\d,]*)\]")
 
 
+def _float_shape_bytes(type_text: str) -> int:
+    """Sum the byte sizes of the float shapes in an HLO type string
+    (s32/u32 async-control scalars skipped)."""
+    total = 0
+    for dt, dims in _SHAPE.findall(type_text):
+        if dt in ("s32", "u32"):
+            continue
+        elems = 1
+        for d in dims.split(","):
+            if d:
+                elems *= int(d)
+        total += elems * _DTYPE_BYTES[dt]
+    return total
+
+
 def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
     """Total local bytes participating in ``all-to-all`` ops in a
     compiled (post-SPMD) HLO module, per chip.
@@ -46,16 +61,7 @@ def hlo_all_to_all_local_bytes(compiled_text: str) -> int:
     for m in _A2A_DEF.finditer(compiled_text):
         if m.group(1) == "-start":
             continue                   # counted at the matching -done
-        op_bytes = 0
-        for dt, dims in _SHAPE.findall(m.group(2)):
-            if dt in ("s32", "u32"):
-                continue               # async control scalars
-            elems = 1
-            for d in dims.split(","):
-                if d:
-                    elems *= int(d)
-            op_bytes += elems * _DTYPE_BYTES[dt]
-        total += op_bytes
+        total += _float_shape_bytes(m.group(2))
     return total
 
 
@@ -79,16 +85,7 @@ def hlo_a2a_bytes_by_group_size(compiled_text: str) -> dict:
         attrs = compiled_text[m.end(): line_end if line_end > 0 else None]
         g = _GROUPS.search(attrs)
         size = len(g.group(1).strip("{}").split(",")) if g else 0
-        op_bytes = 0
-        for dt, dims in _SHAPE.findall(m.group(2)):
-            if dt in ("s32", "u32"):
-                continue
-            elems = 1
-            for dd in dims.split(","):
-                if dd:
-                    elems *= int(dd)
-            op_bytes += elems * _DTYPE_BYTES[dt]
-        out[size] = out.get(size, 0) + op_bytes
+        out[size] = out.get(size, 0) + _float_shape_bytes(m.group(2))
     return out
 
 
@@ -174,8 +171,11 @@ def check_fft_sharded_comm_volume(n: int, mesh, axis_name: str = "d",
     d = mesh.shape[axis_name]
     split = _split_for_mesh(n, d)
     assert split is not None, f"n={n} does not factorize for d={d}"
+    # explicit dtype so this shares the lru entry (and therefore the
+    # compiled executable) with the production fft_sharded call
     fn, sharding = _build(_mesh_key(mesh, axis_name), n, split[0], split[1],
-                          backend, restore_layout, trace_key(), overlap)
+                          backend, restore_layout, trace_key(), overlap,
+                          "float32")
     x = jax.device_put(np.zeros(n, np.float32), sharding)
     txt = fn.lower(x, x).compile().as_text()
     got = hlo_all_to_all_local_bytes(txt)

@@ -265,3 +265,26 @@ def test_stft_push_stream_onesided_and_empty(rng):
                           w, hop, onesided=True)
     ref = (np.asarray(rr) + 1j * np.asarray(ri))[:4]
     assert snr_db(ref, fr + 1j * fi) > SNR
+
+
+def test_stft_push_stream_hop_greater_than_win(rng):
+    """hop > win desync regression (r3 review finding, confirmed
+    failing before the fix): the drain can exceed the buffer and the
+    inter-frame gap must be remembered, or subsequent frames come from
+    the wrong stream positions."""
+    from kofft_tpu.ops.stft import StftPushStream
+    win, hop, n = 32, 100, 405
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    rr, ri = S.stft_split(x, w, hop)
+    ref = np.asarray(rr) + 1j * np.asarray(ri)
+
+    st = StftPushStream(w, hop)
+    parts = []
+    for a, b in ((0, 135), (135, 300), (300, 405)):
+        parts.append(st.push(x[a:b]))
+    parts.append(st.flush())
+    got = (np.concatenate([p[0] for p in parts])
+           + 1j * np.concatenate([p[1] for p in parts]))
+    assert got.shape == ref.shape          # exactly ceil(N/hop) frames
+    assert snr_db(ref, got) > SNR
