@@ -147,11 +147,12 @@ def main() -> None:
     log(f"rfft 2^20: {trfft * 1e3:.3f} ms  [kofft 66.946 ms]")
 
     # ---- smooth non-pow2 sizes (VERDICT r2 missing #5) ----------------
-    # coverage between "pow2" and "Bluestein": these ride the mixed-radix
-    # matmul tree. Measured r3: the tree beats jnp.fft at every probe
-    # (163 vs 172 us at 3*2^18; 71 vs 105 at 5*2^16; 267 us vs 26.6 MS
-    # at 10^6 = 2^6*5^6) — zone decision: no pow2-padding detour, the
-    # tree IS the smooth-size hot path.
+    # coverage between "pow2" and "Bluestein". Zone decision (r3):
+    # odd*2^k with odd <= 31 rides the PHASED PALLAS kernel (odd factor
+    # in n1, in-kernel odd*2^c <= 32 DFT leaves): 149.3 us at 3*2^18 and
+    # 61.4 at 5*2^16 vs the XLA tree's 163.1/71.1. Larger odd parts
+    # (10^6 = 2^6*5^6) stay on the mixed-radix matmul tree, which beats
+    # jnp.fft everywhere here (268 us vs 26.6 MS at 10^6).
     for ns in (3 << 18, 5 << 16, 10 ** 6):
         sr = jnp.asarray(rng.standard_normal(ns).astype(np.float32))
         si = jnp.asarray(rng.standard_normal(ns).astype(np.float32))

@@ -66,21 +66,45 @@ _MAX_N = 1 << 24          # per-step VMEM is tile-bound: n1 * TILE planes
 _MIN_FACTOR = _TILE       # both factors must tile cleanly
 
 
-def _pow2_split(n: int):
-    """n = n1 * n2 with pow2 n1 <= n2, both >= _MIN_FACTOR, else None.
+_MAX_ODD = 31             # odd factor must fit one in-kernel DFT leaf
 
-    n1 (the stage-1 line length, whose whole line must sit across VMEM
-    blocks) is capped at 2048: at 2^24 the (2048, 8192) split measures
-    14% faster than balanced (4096, 4096) — stage-1 VMEM pressure grows
-    with n1 while stage 2 tolerates long rows."""
-    if n & (n - 1) or n < _MIN_FACTOR * _MIN_FACTOR:
+
+def _pow2_split(n: int):
+    """n = n1 * n2 for SMOOTH n = o * 2^k (odd o <= 31), both factors
+    divisible by the 128 tile, n2 a power of two; None otherwise.
+
+    Pow2 n: n1 is the balanced power of two capped at 2048 (at 2^24 the
+    (2048, 8192) split measures 14% faster than balanced (4096, 4096) —
+    stage-1 VMEM pressure grows with n1 while stage 2 tolerates long
+    rows). Smooth non-pow2 n (r3): the odd factor lives in n1 (the
+    stage-1 line length), whose in-kernel recursion bottoms out at an
+    odd*2^c <= 32 DFT leaf — so 3*2^18, 5*2^16, 10^6-adjacent sizes ride
+    the same one-pass phased kernel instead of the XLA matmul tree
+    (reference mixed-radix hot-path parity, src/fft.rs:1573-1706)."""
+    if n < _MIN_FACTOR * _MIN_FACTOR or n > _MAX_N:
         return None
-    k = n.bit_length() - 1
-    n1 = min(1 << (k // 2), 2048)
-    n2 = n // n1
-    if n1 < _MIN_FACTOR or n2 < _MIN_FACTOR or n > _MAX_N:
+    tz = (n & -n).bit_length() - 1
+    o = n >> tz
+    if o == 1:
+        k = n.bit_length() - 1
+        n1 = min(1 << (k // 2), 2048)
+        n2 = n // n1
+        if n1 < _MIN_FACTOR or n2 < _MIN_FACTOR:
+            return None
+        return n1, n2
+    if o > _MAX_ODD:
         return None
-    return n1, n2
+    # n1 = o * 2^a (a >= 7 so the 128 tile divides it), n2 = 2^(tz-a)
+    # >= 128; choose the most balanced split with n1 capped at 3 * 2^10
+    best = None
+    for a in range(7, tz - 6):
+        n1 = o << a
+        n2 = 1 << (tz - a)
+        if n1 > 3072:
+            break
+        if best is None or abs(n1 - n2) < abs(best[0] - best[1]):
+            best = (n1, n2)
+    return best
 
 
 def fused_four_step_supported(n: int) -> bool:
@@ -255,10 +279,17 @@ _ML_TILE = 128    # lines per grid step (1 MB data blocks)
 
 
 def _ml_split(m: int):
-    """Balanced pow2 split of m with both factors <= m (leaf at
-    _ML_LEAF)."""
-    k = m.bit_length() - 1
-    a = 1 << (k // 2)
+    """Split m = a * b toward <= _ML_LEAF leaves. Pow2 m splits
+    balanced; smooth m keeps its odd factor in b so the recursion
+    bottoms out at an odd*2^c <= 32 DFT-matrix leaf (e.g. 768 -> (16,
+    48) -> (4, 12): leaf DFT-12)."""
+    tz = (m & -m).bit_length() - 1
+    o = m >> tz
+    if o == 1:
+        k = m.bit_length() - 1
+        a = 1 << (k // 2)
+        return a, m // a
+    a = 1 << max(1, tz // 2)
     return a, m // a
 
 
@@ -875,7 +906,10 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     bt = _ml_batch_tile(b, n1, n2)
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
-    if _use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N:
+    if (_use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N
+            and not (n & (n - 1))):
+        # pow2 only: Mosaic rejects the phase-3 (tk, n1) -> (w,) flat
+        # reshape for odd-factor n1 (smooth sizes use the tiled path)
         # rank-1 single transform: phase 3 emits the natural-order flat
         # (n,) planes straight from the second VMEM scratch — no
         # (1, n2, n1) -> (n,) XLA relayout on the way out (same design
@@ -913,7 +947,8 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
-    if _use_phased(n, bt) and batch == ():
+    if _use_phased(n, bt) and batch == () and not (n & (n - 1)):
+        # pow2 only (Mosaic rejects the flat reshape for odd-factor n1)
         # 1-D single transform: the phased real kernel emits the RANK-1
         # FLAT one-sided planes itself (phase-3 assembly in VMEM
         # scratch) — no reshape/concat epilogue, which cost ~31 us at

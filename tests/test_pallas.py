@@ -390,3 +390,34 @@ def test_phased_flat_complex_rank1_parity(rng):
                                     interpret=True)
     assert np.asarray(yr2).shape == (1, n)
     assert snr_db(got, np.asarray(yr2)[0] + 1j * np.asarray(yi2)[0]) > 120.0
+
+
+def test_smooth_split_and_parity(rng):
+    """Smooth odd*2^k sizes ride the phased kernel (r3): the odd factor
+    lives in n1 and the in-kernel recursion bottoms at odd*2^c <= 32 DFT
+    leaves (reference mixed-radix hot-path parity, src/fft.rs:1573-1706).
+    Measured on chip: 3*2^18 149.3 us vs the XLA tree's 163.1; 5*2^16
+    61.4 vs 71.1."""
+    from kofft_tpu.ops.pallas_kernels import (_ml_split, _pow2_split,
+                                              fused_multilevel_fft,
+                                              fused_multilevel_rfft)
+    assert _pow2_split(3 << 18) == (768, 1024)
+    assert _pow2_split(5 << 16) == (640, 512)
+    assert _pow2_split(10 ** 6) is None          # odd part 5^6 > 31
+    assert _pow2_split(3 << 4) is None           # too small
+    # the recursion reaches a <= 32 leaf for every smooth n1
+    for m in (384, 640, 768, 896, 1920, 3072):
+        while m > 32:
+            a, b = _ml_split(m)
+            assert a * b == m and a >= 2
+            m = b
+    for n in (3 << 14, 5 << 14):
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        yr, yi = fused_multilevel_fft(jnp.asarray(xr), jnp.asarray(xi), n,
+                                      interpret=True)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 120.0
+        hr, hi = fused_multilevel_rfft(jnp.asarray(xr), n, interpret=True)
+        assert snr_db(np.fft.rfft(xr.astype(np.float64)),
+                      np.asarray(hr) + 1j * np.asarray(hi)) > 120.0
