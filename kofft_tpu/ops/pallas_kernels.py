@@ -907,9 +907,11 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
     if (_use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N
-            and not (n & (n - 1))):
-        # pow2 only: Mosaic rejects the phase-3 (tk, n1) -> (w,) flat
-        # reshape for odd-factor n1 (smooth sizes use the tiled path)
+            and not (n & (n - 1)) and _pow2_split(n)[0] >= 1024):
+        # pow2 with n1 >= 1024 only: Mosaic's 1-D shape-cast inference
+        # rejects the phase-3 (tk, n1) -> (w,) reshape both for
+        # odd-factor n1 (768) and for small pow2 n1 (256) — measured on
+        # chip; 1024/2048 lower fine. Other sizes use the tiled path
         # rank-1 single transform: phase 3 emits the natural-order flat
         # (n,) planes straight from the second VMEM scratch — no
         # (1, n2, n1) -> (n,) XLA relayout on the way out (same design
@@ -947,8 +949,10 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
-    if _use_phased(n, bt) and batch == () and not (n & (n - 1)):
-        # pow2 only (Mosaic rejects the flat reshape for odd-factor n1)
+    if (_use_phased(n, bt) and batch == () and not (n & (n - 1))
+            and _pow2_split(n)[0] >= 1024):
+        # pow2 with n1 >= 1024 only (Mosaic's shape-cast inference
+        # rejects the flat reshape for odd or small n1 — see above)
         # 1-D single transform: the phased real kernel emits the RANK-1
         # FLAT one-sided planes itself (phase-3 assembly in VMEM
         # scratch) — no reshape/concat epilogue, which cost ~31 us at

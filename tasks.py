@@ -49,7 +49,7 @@ def cmd_bench(_args) -> int:
 def cmd_chipcheck(_args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
-    public API at 2^20..2^22 on the real chip and reports SNR vs the
+    public API at 2^14..2^22 on the real chip and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
     choreography is correct at real sizes)."""
     code = """
@@ -58,7 +58,7 @@ import kofft_tpu as kt
 from kofft_tpu.ops.dft import snr_db
 rng = np.random.default_rng(11)
 ok = True
-for p in (20, 21, 22):
+for p in (14, 16, 18, 20, 21, 22):
     n = 1 << p
     xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))

@@ -350,10 +350,12 @@ def test_rdft_primitive_ad_rules_trace(rng):
 
 
 def test_phased_flat_rfft_rank1_parity(rng):
-    """The rank-1 flat phased rfft (phase-3 in-VMEM assembly emitting the
-    (n//2+1,) planes directly, r3) matches numpy bin-for-bin including
-    the Nyquist tail step, and agrees with the (1, n) / batched tiled
-    paths it specializes."""
+    """Rank-1 phased rfft paths match numpy bin-for-bin including the
+    Nyquist handling, and agree with the (1, n) / batched forms. (At
+    this size the dispatch takes the tiled path — the flat phase-3 is
+    gated to n1 >= 1024 by Mosaic's shape-cast support and is
+    chip-verified by `tasks.py chipcheck`; in interpret mode both paths
+    share the stage-1/2 math pinned here.)"""
     from kofft_tpu.ops.pallas_kernels import fused_multilevel_rfft
     n = 1 << 14
     x = rng.standard_normal(n).astype(np.float32)
