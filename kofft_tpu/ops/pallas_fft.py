@@ -31,10 +31,12 @@ def _on_tpu() -> bool:
 
 def pallas_supported(n: int, dtype: str) -> bool:
     """Which (n, dtype) the fused Pallas path covers right now: the
-    multi-level two-stage kernel for pow2 n in [2^14, 2^24] on f32 planes.
-    Measured on v5e (differential chained timing): 2^20 c32 in 157 us at
-    135 dB SNR vs jnp.fft's 312 us — 2.0x faster at higher accuracy.
-    KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces the XLA path."""
+    phased/multi-level kernels for SMOOTH n = odd * 2^k (odd <= 31) in
+    [2^14, 2^24] on f32 planes — pow2 plus the reference's mixed-radix
+    hot-path sizes (3*2^18, 5*2^16, ...). Measured on v5e (differential
+    chained timing): 2^20 c32 in 140 us at 135 dB vs jnp.fft's 218 —
+    1.5x faster at higher accuracy; smooth 3*2^18 149 us vs the XLA
+    matmul tree's 163. KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces XLA."""
     import os
     if os.environ.get("KOFFT_TPU_DISABLE_PALLAS_FFT") == "1":
         return False
