@@ -62,26 +62,31 @@ def _mesh2_key(mesh: Mesh):
     return key
 
 
-def _hier_twiddles(n: int, n1: int, n2: int, s: int, c: int, dtype: str):
+def _hier_twiddles(n: int, n1: int, n2: int, s: int, c: int, dtype: str,
+                   k_chunks: int = 1):
     """Separable twiddle for the nested j2 digits: base rows t in
-    [0, n2/(s*c)) and one offset row per (slice, chip):
-    off(sigma, gamma) = gamma*(n2/c) + sigma*(n2/(s*c)), row index
-    sigma*c + gamma. Host f64, exact integer phase mod n."""
+    [0, n2/(K*s*c)) and one offset row per (chunk, slice, chip):
+    off(k, sigma, gamma) = k*(n2/K) + gamma*(n2/(K*c)) +
+    sigma*(n2/(K*s*c)), row index k*s*c + sigma*c + gamma. Host f64,
+    exact integer phase mod n."""
     def build():
-        rows = n2 // (s * c)
+        ca = n2 // k_chunks
+        rows = ca // (s * c)
         t = np.arange(rows, dtype=np.int64)
         k1 = np.arange(n1, dtype=np.int64)
         ang_b = (-2.0 * np.pi / n) * np.mod(np.outer(t, k1), n).astype(
             np.float64)
-        sg = np.arange(s, dtype=np.int64)[:, None] * rows
-        gm = np.arange(c, dtype=np.int64)[None, :] * (n2 // c)
-        off = (sg + gm).reshape(-1)            # row r = sigma*c + gamma
+        ks = np.arange(k_chunks, dtype=np.int64)[:, None, None] * ca
+        sg = np.arange(s, dtype=np.int64)[None, :, None] * rows
+        gm = np.arange(c, dtype=np.int64)[None, None, :] * (ca // c)
+        off = (ks + sg + gm).reshape(-1)     # row r = k*s*c + sigma*c + gm
         ang_c = (-2.0 * np.pi / n) * np.mod(np.outer(off, k1), n).astype(
             np.float64)
         return (np.cos(ang_b).astype(dtype), np.sin(ang_b).astype(dtype),
                 np.cos(ang_c).astype(dtype), np.sin(ang_c).astype(dtype))
 
-    return tables.custom(("fft_hier_tw", n, n1, n2, s, c, dtype), build)
+    return tables.custom(("fft_hier_tw", n, n1, n2, s, c, dtype, k_chunks),
+                         build)
 
 
 def _a2a(x, name, split_axis, concat_axis):

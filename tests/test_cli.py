@@ -232,3 +232,75 @@ def test_bench_harness_inprocess(tmp_path, monkeypatch):
     assert r2["prev_time_per_op_ns"] == rec.time_per_op_ns
     assert abs(r2["change_vs_prev"] - 1.0) < 1e-6
     assert (tmp_path / "previous.json").exists()
+
+
+def test_wav_bit_depths(tmp_path):
+    """8/24/32-bit PCM wav decode branches (reference hound covers all
+    PCM widths; here the stdlib-wave fallback must too)."""
+    import wave as _wave
+    x = np.linspace(-0.8, 0.8, 64).astype(np.float32)
+
+    def write_width(p, width):
+        with _wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            if width == 1:
+                pcm = (np.clip(np.round(x * 127.0), -128, 127)
+                       + 128).astype(np.uint8).tobytes()
+            elif width == 3:
+                v = np.clip(np.round(x * (2 ** 23 - 1)), -(2 ** 23),
+                            2 ** 23 - 1).astype(np.int32)
+                b = np.zeros((64, 3), np.uint8)
+                b[:, 0] = v & 0xFF
+                b[:, 1] = (v >> 8) & 0xFF
+                b[:, 2] = (v >> 16) & 0xFF
+                pcm = b.tobytes()
+            else:
+                dt = "<i4"
+                pcm = np.clip(np.round(x * (2 ** 31 - 1)),
+                              -(2 ** 31), 2 ** 31 - 1).astype(dt).tobytes()
+            w.writeframes(pcm)
+
+    for width, tol in ((1, 1.0 / 127 + 1e-5), (3, 1e-6), (4, 1e-7)):
+        p = tmp_path / f"w{width}.wav"
+        write_width(p, width)
+        got, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(got, x, atol=tol)
+
+
+def test_read_audio_without_ffmpeg(tmp_path, monkeypatch):
+    """Non-wav without ffmpeg raises the typed error (this image has no
+    ffmpeg; the monkeypatch makes the test hermetic elsewhere too)."""
+    import shutil as _sh
+    from kofft_tpu.errors import InvalidValueError
+    monkeypatch.setattr(_sh, "which", lambda name: None)
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\xff\xfbnot really an mp3")
+    with pytest.raises(InvalidValueError):
+        read_audio(p)
+
+
+def test_observability_trace_context(tmp_path):
+    """The jax.profiler trace context manager produces a trace dir."""
+    import jax.numpy as jnp
+    from kofft_tpu.utils.observability import trace
+    d = tmp_path / "tr"
+    with trace(d):
+        float(jnp.sum(jnp.ones(16)))
+    assert d.exists() and any(d.rglob("*"))
+
+
+def test_asnumpy_paths(rng):
+    """asnumpy covers numpy passthrough, real, and complex downloads
+    (the plane-splitting fallbacks are transport-specific and exercised
+    on the axon attachment)."""
+    from kofft_tpu.utils.transfer import asnumpy
+    import jax.numpy as jnp
+    a = rng.standard_normal(8).astype(np.float32)
+    assert asnumpy(a) is a
+    assert np.allclose(asnumpy(jnp.asarray(a)), a)
+    c = a + 1j * a[::-1].copy()
+    got = asnumpy(jnp.asarray(c))
+    assert np.allclose(got, c, atol=1e-6)

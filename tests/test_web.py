@@ -161,3 +161,37 @@ def test_streaming_state_chunked_multi_row():
     diff = np.abs(np.concatenate(seq).astype(np.int16)
                   - rows.astype(np.int16))
     assert diff.max() <= 1
+
+
+def test_api_error_paths(server):
+    """400s: invalid json, non-dict body, bad colormap; 404 unknown."""
+    import urllib.error
+    import urllib.request
+    req = urllib.request.Request(
+        server + "/api/compute_frame", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    req = urllib.request.Request(
+        server + "/api/compute_frame", data=b"[1,2,3]",
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # unknown colormap names fall back to Fire (reference
+    # Colormap::parse semantics) — the endpoint still answers ok
+    status, out = _post(server + "/api/set_colormap", {"name": "nope"})
+    assert status == 200 and out["ok"]
+    req = urllib.request.Request(
+        server + "/api/nonexistent", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
