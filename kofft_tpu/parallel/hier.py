@@ -96,12 +96,16 @@ def _a2a(x, name, split_axis, concat_axis):
 
 @functools.lru_cache(maxsize=None)
 def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
-                    ck: tuple = (), dtype: str = "float32"):
+                    ck: tuple = (), dtype: str = "float32",
+                    overlap: int = 1):
     mesh = _MESHES2[mesh_key]
     s_name, c_name = mesh.axis_names
     s, c = mesh.devices.shape
     d = s * c
     m1 = n1 // d
+    if overlap > 1:
+        return _build_fft_hier_overlap(mesh, n, n1, n2, backend, dtype,
+                                       overlap)
     r1 = n2 // d                       # per-chip j2 rows after re-pencil
     br, bi, c2r, c2i = _hier_twiddles(n, n1, n2, s, c, dtype)
 
@@ -170,9 +174,100 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
     return jax.jit(f), NamedSharding(mesh, in_spec)
 
 
+def _build_fft_hier_overlap(mesh, n: int, n1: int, n2: int, backend: str,
+                            dtype: str, k_chunks: int):
+    """Chunked pipeline on the two-level mesh: each four-step stage runs
+    as K independent chains of (intra-slice a2a -> inter-slice a2a ->
+    local DFT), so chunk k+1's collectives — including the DCN leg,
+    exactly the one worth hiding — fly while chunk k's DFT runs. Digit
+    bookkeeping composes the hierarchy's nested (chip-major,
+    slice-minor) offsets with the chunk offsets; stage-B/restore rows
+    un-permute via static reshapes. Natural-order output identical to
+    the sequential hierarchical program."""
+    s_name, c_name = mesh.axis_names
+    s, c = mesh.devices.shape
+    d = s * c
+    m1 = n1 // d
+    require(n1 % (d * k_chunks) == 0 and n2 % (d * k_chunks) == 0,
+            InvalidValueError,
+            f"overlap={k_chunks} needs n1={n1} and n2={n2} divisible by "
+            f"mesh_size*overlap = {d * k_chunks}")
+    br, bi, c2r, c2i = _hier_twiddles(n, n1, n2, s, c, dtype, k_chunks)
+    ca = n2 // k_chunks            # stage-A chunk columns
+    ra = ca // d                   # per-chip rows per stage-A chunk
+    cb = n1 // k_chunks            # stage-B chunk columns
+    rb = cb // d                   # per-chip columns per stage-B chunk
+
+    def body(xr, xi):              # local flat shard (m1 * n2,)
+        xr = xr.reshape(m1, n2)
+        xi = xi.reshape(m1, n2)
+        me_s = jax.lax.axis_index(s_name)
+        me_c = jax.lax.axis_index(c_name)
+
+        def hier_a2a(a):
+            a = _a2a(a, c_name, 1, 0)
+            return _a2a(a, s_name, 1, 0)
+
+        # ---- stage A: K independent (a2a-pair -> DFT -> twiddle) chains
+        ys = []
+        for k in range(k_chunks):
+            ar = hier_a2a(xr[:, k * ca:(k + 1) * ca])   # (n1, ra)
+            ai = hier_a2a(xi[:, k * ca:(k + 1) * ca])
+            ar = jnp.swapaxes(ar, 0, 1)                 # (ra, n1)
+            ai = jnp.swapaxes(ai, 0, 1)
+            yr, yi = _fft_planes(ar, ai, n1, False, backend, dtype)
+            row = k * (s * c) + me_s * c + me_c
+            crow_r = jax.lax.dynamic_index_in_dim(jnp.asarray(c2r), row,
+                                                  axis=0, keepdims=False)
+            crow_i = jax.lax.dynamic_index_in_dim(jnp.asarray(c2i), row,
+                                                  axis=0, keepdims=False)
+            wr = (jnp.asarray(br) * crow_r[None, :]
+                  - jnp.asarray(bi) * crow_i[None, :])
+            wi = (jnp.asarray(br) * crow_i[None, :]
+                  + jnp.asarray(bi) * crow_r[None, :])
+            ys.append((yr * wr - yi * wi, yr * wi + yi * wr))
+        yr_all = jnp.concatenate([p[0] for p in ys], axis=0)  # (n2/d, n1)
+        yi_all = jnp.concatenate([p[1] for p in ys], axis=0)
+        # rows: (k, t) with j2 = k*ca + gamma*(ca/c) + sigma*ra + t
+
+        # ---- stage B: K independent (a2a-pair -> DFT -> restore) chains
+        outs = []
+        r0 = ca // (c * s)         # finest j2 run length
+        for q in range(k_chunks):
+            sr = hier_a2a(yr_all[:, q * cb:(q + 1) * cb])   # (n2, rb)
+            si = hier_a2a(yi_all[:, q * cb:(q + 1) * cb])
+            # received rows (sigma', gamma', k, t) -> ascending j2 =
+            # (k, gamma', sigma', t)
+            sr = (sr.reshape(s, c, k_chunks, r0, rb)
+                  .transpose(2, 1, 0, 3, 4).reshape(n2, rb))
+            si = (si.reshape(s, c, k_chunks, r0, rb)
+                  .transpose(2, 1, 0, 3, 4).reshape(n2, rb))
+            sr = jnp.swapaxes(sr, 0, 1)                     # (rb, n2)
+            si = jnp.swapaxes(si, 0, 1)
+            zr, zi = _fft_planes(sr, si, n2, False, backend, dtype)
+            # restore: gather this chunk's k1, split k2; received rows
+            # (sigma', gamma', u) -> ascending k1-within-chunk
+            zr = hier_a2a(zr)                               # (cb, n2/d)
+            zi = hier_a2a(zi)
+            zr = (zr.reshape(s, c, rb, n2 // d)
+                  .transpose(1, 0, 2, 3).reshape(cb, n2 // d))
+            zi = (zi.reshape(s, c, rb, n2 // d)
+                  .transpose(1, 0, 2, 3).reshape(cb, n2 // d))
+            outs.append((jnp.swapaxes(zr, 0, 1), jnp.swapaxes(zi, 0, 1)))
+        zr = jnp.concatenate([p[0] for p in outs], axis=1)  # (n2/d, n1)
+        zi = jnp.concatenate([p[1] for p in outs], axis=1)
+        return zr.reshape((n2 // d) * n1), zi.reshape((n2 // d) * n1)
+
+    in_spec = P((s_name, c_name))
+    out_spec = P((c_name, s_name))
+    f = shard_map(body, mesh, in_specs=(in_spec, in_spec),
+                  out_specs=(out_spec, out_spec))
+    return jax.jit(f), NamedSharding(mesh, in_spec)
+
+
 def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
                      inverse: bool = False, backend: str = "xla",
-                     n1: Optional[int] = None):
+                     n1: Optional[int] = None, overlap: int = 1):
     """Distributed 1-D DFT over a two-level (slice, chip) mesh.
 
     Natural-order output (the ``restore_layout=True`` contract of
@@ -180,7 +275,11 @@ def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
     Every re-pencil is an intra-slice all_to_all (ICI) followed by an
     inter-slice all_to_all (DCN) — 6 collectives total, with exactly the
     flat program's cross-slice byte volume but in s-1 large DCN messages
-    per step instead of d-c small ones."""
+    per step instead of d-c small ones.
+
+    ``overlap=K`` runs each stage as K independent chunk chains so the
+    collectives — ICI and DCN legs both — fly behind the per-chunk DFTs
+    (see ``_build_fft_hier_overlap``)."""
     mesh = mesh if mesh is not None else make_hier_mesh(
         1, len(jax.devices()))
     require(len(mesh.axis_names) == 2, InvalidValueError,
@@ -191,6 +290,7 @@ def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
     xi = jnp.asarray(xi)
     require(xr.ndim == 1 and xr.shape == xi.shape, InvalidValueError,
             "fft_sharded_hier takes flat 1-D (re, im) planes")
+    require(overlap >= 1, InvalidValueError, "overlap must be >= 1")
     n = xr.shape[0]
     from .fft_sharded import _split_for_mesh
     split = (n1, n // n1) if n1 else _split_for_mesh(n, d)
@@ -200,19 +300,21 @@ def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
             f"divisible by the mesh size {d}")
     if inverse:
         yr, yi = fft_sharded_hier(xr, -xi, mesh=mesh, backend=backend,
-                                  n1=split[0])
+                                  n1=split[0], overlap=overlap)
         return yr / n, -yi / n
     fn, sharding = _build_fft_hier(_mesh2_key(mesh), n, split[0], split[1],
-                                   backend, trace_key(), str(xr.dtype))
+                                   backend, trace_key(), str(xr.dtype),
+                                   overlap)
     xr = jax.device_put(xr, sharding)
     xi = jax.device_put(xi, sharding)
     return fn(xr, xi)
 
 
 def ifft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
-                      backend: str = "xla", n1: Optional[int] = None):
+                      backend: str = "xla", n1: Optional[int] = None,
+                      overlap: int = 1):
     return fft_sharded_hier(xr, xi, mesh=mesh, inverse=True,
-                            backend=backend, n1=n1)
+                            backend=backend, n1=n1, overlap=overlap)
 
 
 @functools.lru_cache(maxsize=None)
