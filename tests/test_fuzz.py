@@ -73,3 +73,31 @@ def test_strategies_agree_random():
         ref = np.fft.fft(x.astype(np.complex128))
         for got in outs:
             assert snr_db(ref, got) > SNR, n
+
+
+def test_push_stream_random_chunking():
+    """StftPushStream parity under randomized chunk arrival, win/hop
+    combinations including hop > win (the r3 desync regression class):
+    push(random splits) + flush always equals the offline stft."""
+    rng = np.random.default_rng(77)
+    from kofft_tpu.ops.stft import StftPushStream, stft_split
+    for trial in range(6):
+        win = int(2 ** rng.integers(4, 7))            # 16..64
+        hop = int(rng.integers(1, 2 * win))           # incl. hop > win
+        n = int(rng.integers(win, 40 * hop + win))
+        x = rng.standard_normal(n).astype(np.float32)
+        w = kt.window.hann(win)
+        rr, ri = stft_split(x, w, hop)
+        ref = np.asarray(rr) + 1j * np.asarray(ri)
+        st = StftPushStream(w, hop)
+        outs = []
+        pos = 0
+        while pos < n:
+            step = int(rng.integers(1, max(2, 3 * hop)))
+            outs.append(st.push(x[pos: pos + step]))
+            pos += step
+        outs.append(st.flush())
+        got = (np.concatenate([o[0] for o in outs])
+               + 1j * np.concatenate([o[1] for o in outs]))
+        assert got.shape == ref.shape, (win, hop, n)
+        assert snr_db(ref, got) > SNR, (win, hop, n)
