@@ -144,6 +144,17 @@ def main() -> None:
     sweep_from("1-D FFT hierarchical (2, D/2) slice/chip", fft1d_hier_case,
                (4, 8, 16))
 
+    def fft1d_hier_overlap_case(d):
+        from kofft_tpu.parallel import fft_sharded_hier, make_hier_mesh
+        n = (1 << log2_per_chip) * d
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        mesh = make_hier_mesh(2, d // 2)
+        return (lambda: fft_sharded_hier(xr, xi, mesh=mesh, overlap=2), n)
+
+    sweep_from("1-D FFT hierarchical + overlap=2", fft1d_hier_overlap_case,
+               (4, 8, 16))
+
     # machine-checked invariant: the compiled 1-D program moves EXACTLY
     # the canonical all_to_all volume per chip ((D-1)/D x local bytes per
     # step, constant in weak scaling) — the checkable proxy for the
