@@ -31,7 +31,7 @@ def _on_tpu() -> bool:
 
 def pallas_supported(n: int, dtype: str) -> bool:
     """Which (n, dtype) the fused Pallas path covers right now: the
-    phased/multi-level kernels for SMOOTH n = odd * 2^k (odd <= 31) in
+    phased/multi-level kernels for SMOOTH n = odd * 2^k (odd <= 23) in
     [2^14, 2^24] on f32 planes — pow2 plus the reference's mixed-radix
     hot-path sizes (3*2^18, 5*2^16, ...). Measured on v5e (differential
     chained timing): 2^20 c32 in 140 us at 135 dB vs jnp.fft's 218 —

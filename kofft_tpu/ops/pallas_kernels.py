@@ -66,11 +66,11 @@ _MAX_N = 1 << 24          # per-step VMEM is tile-bound: n1 * TILE planes
 _MIN_FACTOR = _TILE       # both factors must tile cleanly
 
 
-_MAX_ODD = 31             # odd factor must fit one in-kernel DFT leaf
+_MAX_ODD = 23             # n1 = odd*128 must stay under the 3072 line cap
 
 
 def _pow2_split(n: int):
-    """n = n1 * n2 for SMOOTH n = o * 2^k (odd o <= 31), both factors
+    """n = n1 * n2 for SMOOTH n = o * 2^k (odd o <= 23), both factors
     divisible by the 128 tile, n2 a power of two; None otherwise.
 
     Pow2 n: n1 is the balanced power of two capped at 2048 (at 2^24 the
@@ -907,11 +907,12 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
     if (_use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N
-            and not (n & (n - 1)) and _pow2_split(n)[0] >= 1024):
-        # pow2 with n1 >= 1024 only: Mosaic's 1-D shape-cast inference
-        # rejects the phase-3 (tk, n1) -> (w,) reshape both for
-        # odd-factor n1 (768) and for small pow2 n1 (256) — measured on
-        # chip; 1024/2048 lower fine. Other sizes use the tiled path
+            and (interpret or (not (n & (n - 1)) and n1 >= 1024))):
+        # on chip: pow2 with n1 >= 1024 only — Mosaic's 1-D shape-cast
+        # inference rejects the phase-3 (tk, n1) -> (w,) reshape both
+        # for odd-factor n1 (768) and for small pow2 n1 (256); 1024 and
+        # 2048 lower fine. The interpreter has no such limit, so
+        # interpret mode keeps flat-path CPU test coverage at all sizes
         # rank-1 single transform: phase 3 emits the natural-order flat
         # (n,) planes straight from the second VMEM scratch — no
         # (1, n2, n1) -> (n,) XLA relayout on the way out (same design
@@ -949,10 +950,12 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
-    if (_use_phased(n, bt) and batch == () and not (n & (n - 1))
-            and _pow2_split(n)[0] >= 1024):
-        # pow2 with n1 >= 1024 only (Mosaic's shape-cast inference
-        # rejects the flat reshape for odd or small n1 — see above)
+    if (_use_phased(n, bt) and batch == ()
+            and (interpret
+                 or (not (n & (n - 1)) and _pow2_split(n)[0] >= 1024))):
+        # chip: pow2 with n1 >= 1024 only (Mosaic's shape-cast
+        # inference rejects the flat reshape for odd or small n1);
+        # interpret mode keeps flat coverage at all sizes
         # 1-D single transform: the phased real kernel emits the RANK-1
         # FLAT one-sided planes itself (phase-3 assembly in VMEM
         # scratch) — no reshape/concat epilogue, which cost ~31 us at

@@ -94,6 +94,17 @@ def _a2a(x, name, split_axis, concat_axis):
                               concat_axis=concat_axis, tiled=True)
 
 
+def _hier_repencil(a, c_name: str, s_name: str, split_axis: int = 1,
+                   concat_axis: int = 0):
+    """The two-level redistribution: intra-slice (ICI) leg first, then
+    inter-slice (DCN). The ordering is a correctness invariant — the
+    nested (chip-major, slice-minor) digit assignment, the per-tier
+    volume audit and every un-permute depend on it — so it lives in ONE
+    place for all hierarchical programs."""
+    a = _a2a(a, c_name, split_axis, concat_axis)
+    return _a2a(a, s_name, split_axis, concat_axis)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
                     ck: tuple = (), dtype: str = "float32",
@@ -115,15 +126,11 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
         me_s = jax.lax.axis_index(s_name)
         me_c = jax.lax.axis_index(c_name)
 
-        def repencil(a):
-            # gather rows slice-locally over ICI, then across slices
-            # over DCN; rows stay ascending (sigma-major input order),
-            # cols land at the nested (gamma-major) digit offset
-            a = _a2a(a, c_name, 1, 0)
-            return _a2a(a, s_name, 1, 0)
-
-        xr = repencil(xr)              # (n1, n2/d)
-        xi = repencil(xi)
+        # rows gathered slice-locally over ICI then across slices over
+        # DCN stay ascending (sigma-major input order); cols land at
+        # the nested (gamma-major) digit offset
+        xr = _hier_repencil(xr, c_name, s_name)    # (n1, n2/d)
+        xi = _hier_repencil(xi, c_name, s_name)
         xr = jnp.swapaxes(xr, 0, 1)    # (r1, n1)
         xi = jnp.swapaxes(xi, 0, 1)
         yr, yi = _fft_planes(xr, xi, n1, False, backend, dtype)
@@ -143,8 +150,7 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
             # gather j2 (rows), split k1 (cols): rows arrive in nested
             # (sigma', gamma', t) order with j2 = gamma'*(n2/c) +
             # sigma'*r1 + t -> un-permute to ascending (gamma'-major)
-            a = _a2a(a, c_name, 1, 0)
-            a = _a2a(a, s_name, 1, 0)  # (n2, n1/d)
+            a = _hier_repencil(a, c_name, s_name)   # (n2, n1/d)
             a = a.reshape(s, c, r1, n1 // d).transpose(1, 0, 2, 3)
             return a.reshape(n2, n1 // d)
 
@@ -158,8 +164,7 @@ def _build_fft_hier(mesh_key, n: int, n1: int, n2: int, backend: str,
             # gather k1 (rows), split k2 (cols); rows arrive nested
             # (sigma', gamma', u) with k1 = gamma'*(n1/c) + sigma'*
             # (n1/d) + u -> un-permute, then transpose to (k2, k1)
-            a = _a2a(a, c_name, 1, 0)
-            a = _a2a(a, s_name, 1, 0)  # (n1, n2/d)
+            a = _hier_repencil(a, c_name, s_name)   # (n1, n2/d)
             a = a.reshape(s, c, n1 // d, r1).transpose(1, 0, 2, 3)
             return jnp.swapaxes(a.reshape(n1, r1), 0, 1)   # (r1, n1)
 
@@ -204,15 +209,13 @@ def _build_fft_hier_overlap(mesh, n: int, n1: int, n2: int, backend: str,
         me_s = jax.lax.axis_index(s_name)
         me_c = jax.lax.axis_index(c_name)
 
-        def hier_a2a(a):
-            a = _a2a(a, c_name, 1, 0)
-            return _a2a(a, s_name, 1, 0)
-
         # ---- stage A: K independent (a2a-pair -> DFT -> twiddle) chains
         ys = []
         for k in range(k_chunks):
-            ar = hier_a2a(xr[:, k * ca:(k + 1) * ca])   # (n1, ra)
-            ai = hier_a2a(xi[:, k * ca:(k + 1) * ca])
+            ar = _hier_repencil(xr[:, k * ca:(k + 1) * ca],
+                                c_name, s_name)         # (n1, ra)
+            ai = _hier_repencil(xi[:, k * ca:(k + 1) * ca],
+                                c_name, s_name)
             ar = jnp.swapaxes(ar, 0, 1)                 # (ra, n1)
             ai = jnp.swapaxes(ai, 0, 1)
             yr, yi = _fft_planes(ar, ai, n1, False, backend, dtype)
@@ -234,8 +237,10 @@ def _build_fft_hier_overlap(mesh, n: int, n1: int, n2: int, backend: str,
         outs = []
         r0 = ca // (c * s)         # finest j2 run length
         for q in range(k_chunks):
-            sr = hier_a2a(yr_all[:, q * cb:(q + 1) * cb])   # (n2, rb)
-            si = hier_a2a(yi_all[:, q * cb:(q + 1) * cb])
+            sr = _hier_repencil(yr_all[:, q * cb:(q + 1) * cb],
+                                c_name, s_name)         # (n2, rb)
+            si = _hier_repencil(yi_all[:, q * cb:(q + 1) * cb],
+                                c_name, s_name)
             # received rows (sigma', gamma', k, t) -> ascending j2 =
             # (k, gamma', sigma', t)
             sr = (sr.reshape(s, c, k_chunks, r0, rb)
@@ -247,8 +252,8 @@ def _build_fft_hier_overlap(mesh, n: int, n1: int, n2: int, backend: str,
             zr, zi = _fft_planes(sr, si, n2, False, backend, dtype)
             # restore: gather this chunk's k1, split k2; received rows
             # (sigma', gamma', u) -> ascending k1-within-chunk
-            zr = hier_a2a(zr)                               # (cb, n2/d)
-            zi = hier_a2a(zi)
+            zr = _hier_repencil(zr, c_name, s_name)     # (cb, n2/d)
+            zi = _hier_repencil(zi, c_name, s_name)
             zr = (zr.reshape(s, c, rb, n2 // d)
                   .transpose(1, 0, 2, 3).reshape(cb, n2 // d))
             zi = (zi.reshape(s, c, rb, n2 // d)
@@ -319,32 +324,60 @@ def ifft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
 
 @functools.lru_cache(maxsize=None)
 def _build_fftn_hier(mesh_key, ndim: int, inverse: bool, backend: str,
-                     restore_layout: bool, ck: tuple = ()):
+                     restore_layout: bool, ck: tuple = (),
+                     overlap: int = 1):
     mesh = _MESHES2[mesh_key]
     s_name, c_name = mesh.axis_names
     in_spec = P((s_name, c_name), *([None] * (ndim - 1)))
     out_spec = (in_spec if restore_layout
                 else P(*([None] * (ndim - 1)), (c_name, s_name)))
 
-    def body(xr, xi):
-        # 1. all non-sharded axes locally
-        local_axes = tuple(range(1, ndim))
-        if local_axes:
-            xr, xi = _fftn_planes(xr, xi, local_axes, inverse, backend)
-        # 2. hierarchical re-pencil: ICI gather within the slice, DCN
-        # gather across slices; last axis lands at the nested
-        # (chip-major, slice-minor) digit — matching out_spec's
-        # (c_name, s_name) ordering
-        for name in (c_name, s_name):
-            xr = _a2a(xr, name, ndim - 1, 0)
-            xi = _a2a(xi, name, ndim - 1, 0)
-        # 3. the (now local) leading axis
-        xr, xi = _fftn_planes(xr, xi, (0,), inverse, backend)
-        if restore_layout:
-            for name in (s_name, c_name):
-                xr = _a2a(xr, name, 0, ndim - 1)
-                xi = _a2a(xi, name, 0, ndim - 1)
-        return xr, xi
+    if overlap > 1:
+        # chunked pipeline (restore-only): the last axis is transformed
+        # first, then each output-column chunk runs mid-axes FFT ->
+        # ICI/DCN re-pencil -> axis-0 FFT -> ICI/DCN restore as an
+        # independent chain; the restore pair inverts the forward pair
+        # per chunk so concatenating chunks rebuilds the input layout
+        def body(xr, xi):
+            xr, xi = _fftn_planes(xr, xi, (ndim - 1,), inverse, backend)
+            lc = xr.shape[-1]
+            ckw = lc // overlap
+            mids = tuple(range(1, ndim - 1))
+            outs = []
+            for k in range(overlap):
+                cr = xr[..., k * ckw:(k + 1) * ckw]
+                ci = xi[..., k * ckw:(k + 1) * ckw]
+                if mids:
+                    cr, ci = _fftn_planes(cr, ci, mids, inverse, backend)
+                cr = _hier_repencil(cr, c_name, s_name, ndim - 1, 0)
+                ci = _hier_repencil(ci, c_name, s_name, ndim - 1, 0)
+                cr, ci = _fftn_planes(cr, ci, (0,), inverse, backend)
+                for name in (s_name, c_name):
+                    cr = _a2a(cr, name, 0, ndim - 1)
+                    ci = _a2a(ci, name, 0, ndim - 1)
+                outs.append((cr, ci))
+            xr = jnp.concatenate([o[0] for o in outs], axis=-1)
+            xi = jnp.concatenate([o[1] for o in outs], axis=-1)
+            return xr, xi
+    else:
+        def body(xr, xi):
+            # 1. all non-sharded axes locally
+            local_axes = tuple(range(1, ndim))
+            if local_axes:
+                xr, xi = _fftn_planes(xr, xi, local_axes, inverse, backend)
+            # 2. hierarchical re-pencil: ICI gather within the slice,
+            # DCN gather across slices; last axis lands at the nested
+            # (chip-major, slice-minor) digit — matching out_spec's
+            # (c_name, s_name) ordering
+            xr = _hier_repencil(xr, c_name, s_name, ndim - 1, 0)
+            xi = _hier_repencil(xi, c_name, s_name, ndim - 1, 0)
+            # 3. the (now local) leading axis
+            xr, xi = _fftn_planes(xr, xi, (0,), inverse, backend)
+            if restore_layout:
+                for name in (s_name, c_name):
+                    xr = _a2a(xr, name, 0, ndim - 1)
+                    xi = _a2a(xi, name, 0, ndim - 1)
+            return xr, xi
 
     f = shard_map(body, mesh, in_specs=(in_spec, in_spec),
                   out_specs=(out_spec, out_spec))
@@ -353,12 +386,14 @@ def _build_fftn_hier(mesh_key, ndim: int, inverse: bool, backend: str,
 
 def fftn_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
                       inverse: bool = False, backend: str = "xla",
-                      restore_layout: bool = False):
+                      restore_layout: bool = False, overlap: int = 1):
     """Distributed N-D FFT over a two-level (slice, chip) mesh: the
     pencil re-distribution runs as intra-slice (ICI) then inter-slice
     (DCN) all_to_alls. Output sharded on the last axis in nested
     (chip, slice) order unless ``restore_layout``; the gathered global
-    array is identical to :func:`fftn_sharded`'s."""
+    array is identical to :func:`fftn_sharded`'s. ``overlap=K`` runs K
+    independent chunk chains per stage (requires ``restore_layout=True``
+    and the last axis divisible by mesh_size*K)."""
     mesh = mesh if mesh is not None else make_hier_mesh(
         1, len(jax.devices()))
     require(len(mesh.axis_names) == 2, InvalidValueError,
@@ -373,14 +408,23 @@ def fftn_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
             InvalidValueError,
             f"axis 0 ({xr.shape[0]}) and axis -1 ({xr.shape[-1]}) must be "
             f"divisible by the mesh size {d}")
+    require(overlap >= 1, InvalidValueError, "overlap must be >= 1")
+    require(overlap == 1 or restore_layout, InvalidValueError,
+            "overlap > 1 requires restore_layout=True (natural order)")
+    require(xr.shape[-1] % (d * overlap) == 0, InvalidValueError,
+            f"overlap={overlap} needs axis -1 ({xr.shape[-1]}) divisible "
+            f"by mesh_size*overlap = {d * overlap}")
     fn, in_sharding = _build_fftn_hier(_mesh2_key(mesh), xr.ndim, inverse,
-                                       backend, restore_layout, trace_key())
+                                       backend, restore_layout, trace_key(),
+                                       overlap)
     xr = jax.device_put(xr, in_sharding)
     xi = jax.device_put(xi, in_sharding)
     return fn(xr, xi)
 
 
 def ifftn_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
-                       backend: str = "xla", restore_layout: bool = False):
+                       backend: str = "xla", restore_layout: bool = False,
+                       overlap: int = 1):
     return fftn_sharded_hier(xr, xi, mesh=mesh, inverse=True,
-                             backend=backend, restore_layout=restore_layout)
+                             backend=backend, restore_layout=restore_layout,
+                             overlap=overlap)

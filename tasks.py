@@ -49,7 +49,8 @@ def cmd_bench(_args) -> int:
 def cmd_chipcheck(_args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
-    public API at 2^14..2^22 on the real chip and reports SNR vs the
+    public API at 2^14..2^22 plus smooth odd*2^k sizes on the real
+    chip and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
     choreography is correct at real sizes)."""
     code = """
@@ -58,8 +59,7 @@ import kofft_tpu as kt
 from kofft_tpu.ops.dft import snr_db
 rng = np.random.default_rng(11)
 ok = True
-for p in (14, 16, 18, 20, 21, 22):
-    n = 1 << p
+for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
     xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     yr, yi = kt.fft_split(xr, xi)
@@ -69,7 +69,7 @@ for p in (14, 16, 18, 20, 21, 22):
     hr, hi = kt.rfft_split(xr)
     sr = snr_db(np.fft.rfft(np.asarray(xr).astype(np.float64)),
                 np.asarray(hr) + 1j * np.asarray(hi))
-    print(f"2^{p}: complex {s:.1f} dB, rfft {sr:.1f} dB")
+    print(f"n={n}: complex {s:.1f} dB, rfft {sr:.1f} dB")
     ok &= s > 130 and sr > 130
 print("chipcheck:", "OK" if ok else "FAILED")
 raise SystemExit(0 if ok else 1)

@@ -564,3 +564,24 @@ def test_hier_overlap_audits(rng):
             assert per == base                    # volume invariant
             assert dep["total"] == 24             # 2 chunks x 3 x 2 x 2
             assert dep["independent_sources"] == 4
+
+
+def test_fftn_sharded_hier_overlap_parity(rng):
+    """overlap=K on the hierarchical N-D program (restore-only): per
+    chunk, the ICI/DCN restore pair inverts the forward pair so the
+    concatenated chunks rebuild the input layout exactly."""
+    from kofft_tpu.parallel.hier import fftn_sharded_hier, make_hier_mesh
+    mesh = make_hier_mesh(2, 4)
+    for shape in ((16, 4, 32), (32, 64)):
+        ar = rng.standard_normal(shape).astype(np.float32)
+        ai = rng.standard_normal(shape).astype(np.float32)
+        ref = np.fft.fftn(ar.astype(np.float64) + 1j * ai.astype(np.float64))
+        for k in (2,):
+            zr, zi = fftn_sharded_hier(ar, ai, mesh=mesh,
+                                       restore_layout=True, overlap=k)
+            assert np.asarray(zr).shape == shape
+            assert snr_db(ref, np.asarray(zr) + 1j * np.asarray(zi)) > SNR
+    from kofft_tpu.errors import InvalidValueError
+    x2 = np.zeros((16, 16), np.float32)
+    with pytest.raises(InvalidValueError):     # overlap without restore
+        fftn_sharded_hier(x2, x2, mesh=mesh, overlap=2)
