@@ -202,3 +202,86 @@ def test_float64_inputs_accepted(rng):
     z = kt.asnumpy(kt.fft(c128))
     wantc = kt.asnumpy(kt.fft(c128.astype(np.complex64)))
     assert np.allclose(z, wantc)
+
+
+def test_invalid_norm_raises(rng):
+    x = rng.standard_normal(16).astype(np.float32)
+    with pytest.raises(kt.KofftError):
+        kt.fft(x, norm="bogus")
+
+
+def test_jnp_fft_zone_logic():
+    """Engine zone map is pure logic (measured v5e class boundaries)."""
+    from kofft_tpu.ops.fft import _jnp_fft_zone
+    assert _jnp_fft_zone((64, 4096), 4096)       # batched mid-size pow2
+    assert _jnp_fft_zone((1 << 25,), 1 << 25)    # above the Pallas cap
+    assert not _jnp_fft_zone((4096,), 4096)      # single mid-size: pallas
+    assert not _jnp_fft_zone((64, 4095), 4095)   # non-pow2
+    assert not _jnp_fft_zone((1 << 20,), 1 << 20)  # flagship size: pallas
+
+
+def test_engine_zone_reroute_and_pallas_fallback(rng, monkeypatch):
+    """auto + forced 'pallas' platform default: the batched mid-size zone
+    reroutes to jnp.fft; an explicit backend='pallas' request on a
+    platform without kernels degrades to the XLA engine (explicit
+    request is law for routing, graceful for capability)."""
+    from kofft_tpu.ops import fft as fft_mod
+    monkeypatch.setattr(fft_mod, "_platform_default", lambda: "pallas")
+    xr = rng.standard_normal((64, 4096)).astype(np.float32)
+    xi = rng.standard_normal((64, 4096)).astype(np.float32)
+    yr, yi = fft_mod.engine_fft_planes(xr, xi, 4096, False, "float32",
+                                       "auto")
+    ref = np.fft.fft((xr + 1j * xi).astype(np.complex128), axis=-1)
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 80.0
+    x1 = rng.standard_normal(256).astype(np.float32)
+    z1 = np.zeros_like(x1)
+    yr2, yi2 = fft_mod.engine_fft_planes(x1, z1, 256, False, "float32",
+                                         "pallas")
+    ref2 = np.fft.fft(x1.astype(np.complex128))
+    assert snr_db(ref2, np.asarray(yr2) + 1j * np.asarray(yi2)) > 80.0
+
+
+def test_complex_io_supported_axon_guard(monkeypatch):
+    from kofft_tpu.ops import fft as fft_mod
+    try:
+        fft_mod.complex_io_supported.cache_clear()
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        assert not fft_mod.complex_io_supported()
+        fft_mod.complex_io_supported.cache_clear()
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert fft_mod.complex_io_supported()
+    finally:
+        fft_mod.complex_io_supported.cache_clear()
+
+
+def test_fft_host_complex_numpy_input(rng):
+    x = (rng.standard_normal(64)
+         + 1j * rng.standard_normal(64)).astype(np.complex64)
+    got = kt.asnumpy(kt.fft(x))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert snr_db(ref, got) > 80.0
+
+
+def test_fft_split_under_jit(rng):
+    import jax
+    xr = rng.standard_normal(64).astype(np.float32)
+    xi = rng.standard_normal(64).astype(np.float32)
+
+    @jax.jit
+    def f(a, b):
+        yr, yi = kt.fft_split(a, b)
+        return kt.ifft_split(yr, yi)
+
+    br, bi = f(xr, xi)
+    np.testing.assert_allclose(np.asarray(br), xr, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bi), xi, rtol=1e-4, atol=1e-4)
+
+
+def test_fft_batch_aliases(rng):
+    xs = (rng.standard_normal((4, 32))
+          + 1j * rng.standard_normal((4, 32))).astype(np.complex64)
+    got = kt.asnumpy(kt.fft_batch(xs))
+    ref = np.fft.fft(xs.astype(np.complex128), axis=-1)
+    assert snr_db(ref, got) > 80.0
+    back = kt.asnumpy(kt.ifft_batch(got.astype(np.complex64)))
+    assert snr_db(xs.astype(np.complex128), back) > 80.0

@@ -56,3 +56,81 @@ def test_real_input(rng):
     got = np.asarray(ndfft.fft2(x))
     ref = np.fft.fft2(x.astype(np.float64))
     assert snr_db(ref, got) > SNR
+
+
+def test_nd_jnp_zone_logic():
+    """The fused-fftn zone map is pure logic (measured v5e boundaries):
+    >= 2 pow2 axes in [2^10, 2^16] and >= 2^20 total points."""
+    zone = ndfft._nd_jnp_zone
+    assert zone((1024, 1024), (0, 1))
+    assert zone((2048, 2048), (0, 1))
+    assert not zone((1024, 1024), (1,))          # single axis
+    assert not zone((512, 512), (0, 1))          # < 2^20 points
+    assert not zone((1024, 1000), (0, 1))        # non-pow2 axis
+    assert not zone((1 << 17, 8, 1024), (0, 2))  # axis above 2^16
+    assert not zone((512, 512, 8), (0, 1))       # small grid, padded batch
+
+
+def test_fused_fftn_zone_branch_parity(rng, monkeypatch):
+    """Force the platform default to 'pallas' so the fused jnp.fftn zone
+    branch executes on CPU; parity vs the per-axis engine."""
+    monkeypatch.setattr(ndfft, "_platform_default", lambda: "pallas")
+    xr = rng.standard_normal((1024, 1024)).astype(np.float32)
+    xi = rng.standard_normal((1024, 1024)).astype(np.float32)
+    assert ndfft._nd_jnp_zone(xr.shape, (0, 1))
+    yr, yi = ndfft._fftn_planes(np.asarray(xr), np.asarray(xi), (0, 1),
+                                False, "auto")
+    ref = np.fft.fftn((xr + 1j * xi).astype(np.complex128))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 80.0
+
+
+def test_fftn_split_jnpfft_backend_maps_to_xla(rng):
+    xr = rng.standard_normal((4, 64)).astype(np.float32)
+    xi = np.zeros_like(xr)
+    yr, yi = ndfft.fftn_split(xr, xi, backend="jnpfft")
+    ref = np.fft.fftn(xr.astype(np.complex128))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 80.0
+
+
+def test_fftn_split_xla_backend_long_axis(rng):
+    """backend='xla' on an axis above the small-axes einsum zone takes
+    the per-axis _fft_planes branch."""
+    xr = rng.standard_normal((4, 512)).astype(np.float32)
+    xi = np.zeros_like(xr)
+    yr, yi = ndfft.fftn_split(xr, xi, backend="xla", inverse=True)
+    ref = np.fft.ifftn(xr.astype(np.complex128), axes=(0, 1))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert snr_db(ref, got) > 80.0
+
+
+def test_fftn_host_and_device_complex_input(rng):
+    x = (rng.standard_normal((8, 16))
+         + 1j * rng.standard_normal((8, 16))).astype(np.complex64)
+    ref = np.fft.fftn(x.astype(np.complex128))
+    got_host = np.asarray(ndfft.fftn(x))
+    assert snr_db(ref, got_host) > 80.0
+    import jax.numpy as jnp
+    from kofft_tpu.ops.fft import complex_io_supported
+    if complex_io_supported():
+        got_dev = np.asarray(ndfft.fftn(jnp.asarray(x)))
+        assert snr_db(ref, got_dev) > 80.0
+
+
+def test_fftn_empty_input_raises():
+    from kofft_tpu.errors import EmptyInputError
+    with pytest.raises(EmptyInputError):
+        ndfft.fftn(np.zeros((0, 4), dtype=np.float32))
+
+
+def test_fft2_fft3_rank_validation():
+    from kofft_tpu.errors import InvalidValueError
+    with pytest.raises(InvalidValueError):
+        ndfft.fft2(np.zeros(8, dtype=np.float32))
+    with pytest.raises(InvalidValueError):
+        ndfft.ifft2(np.zeros(8, dtype=np.float32))
+    with pytest.raises(InvalidValueError):
+        ndfft.fft3(np.zeros((4, 4), dtype=np.float32))
+    with pytest.raises(InvalidValueError):
+        ndfft.ifft3(np.zeros((4, 4), dtype=np.float32))

@@ -288,3 +288,89 @@ def test_stft_push_stream_hop_greater_than_win(rng):
            + 1j * np.concatenate([p[1] for p in parts]))
     assert got.shape == ref.shape          # exactly ceil(N/hop) frames
     assert snr_db(ref, got) > SNR
+
+
+def test_istft_nondivisible_hop_gather_path(rng):
+    """win % hop != 0 takes the index-matrix gather OLA (the general
+    fallback of the k-shifted-adds form); roundtrip parity."""
+    x = rng.standard_normal(64).astype(np.float32)
+    w = np.asarray(W.hann(8))
+    y = np.asarray(kt.stft(x, w, hop=3))
+    ref = _ref_stft(x.astype(np.float64), w.astype(np.float64), 3)
+    assert snr_db(ref, y) > SNR
+    back = np.asarray(kt.istft(y, w, hop=3, length=64))
+    rback = _ref_istft(ref, w.astype(np.float64), 3, 64)
+    assert snr_db(rback, back) > SNR
+
+
+def test_istft_length_longer_than_ola_pads(rng):
+    x = rng.standard_normal(64).astype(np.float32)
+    w = np.asarray(W.hann(16))
+    y = np.asarray(kt.stft(x, w, hop=8))
+    out = np.asarray(kt.istft(y, w, hop=8, length=200))
+    assert out.shape[-1] == 200
+    assert np.all(out[100:] == 0.0)
+
+
+def test_stft_istft_device_input_and_jit(rng):
+    import jax
+    import jax.numpy as jnp
+    x = rng.standard_normal(128).astype(np.float32)
+    w = np.asarray(W.hann(16))
+    y_dev = kt.stft(jnp.asarray(x), w, hop=8)        # device-resident input
+    ref = _ref_stft(x.astype(np.float64), w.astype(np.float64), 8)
+    assert snr_db(ref, np.asarray(y_dev)) > SNR
+
+    @jax.jit
+    def roundtrip(v):
+        yy = kt.stft(v, w, hop=8)
+        return kt.istft(yy, w, hop=8, length=128)
+
+    back = np.asarray(roundtrip(x))                  # tracer branches
+    rback = _ref_istft(ref, w.astype(np.float64), 8, 128)
+    assert snr_db(rback, back) > SNR
+
+
+def test_stft_istft_no_complex_io_transport(rng, monkeypatch):
+    from kofft_tpu.ops import stft as stft_mod
+    monkeypatch.setattr(stft_mod, "complex_io_supported", lambda: False)
+    x = rng.standard_normal(96).astype(np.float32)
+    w = np.asarray(W.hann(16))
+    y = kt.stft(x, w, hop=8)
+    assert isinstance(y, np.ndarray) and y.dtype.kind == "c"
+    back = kt.istft(y, w, hop=8, length=96)
+    assert isinstance(back, np.ndarray)
+    ref = _ref_stft(x.astype(np.float64), w.astype(np.float64), 8)
+    rback = _ref_istft(ref, w.astype(np.float64), 8, 96)
+    assert snr_db(rback, back) > SNR
+
+
+def test_inverse_frame_split_roundtrip(rng):
+    """frame -> inverse_frame gives the windowed time segment
+    (reference inverse_frame, stft.rs:384-399)."""
+    x = rng.standard_normal(64).astype(np.float32)
+    w = np.asarray(W.hann(16))
+    fr, fi = S.frame_split(x, w, start=8)
+    tr = np.asarray(S.inverse_frame_split(fr, fi, w))
+    ref = (x[8:24] * w) * w                          # analysis+synthesis win
+    assert snr_db(ref.astype(np.float64), tr) > SNR
+
+
+def test_istft_stream_scan_hop_equals_win(rng):
+    """hop == win: no overlap tail, the scan stream IS the signal."""
+    x = rng.standard_normal(64).astype(np.float32)
+    w = np.ones(8, dtype=np.float32)
+    y = np.asarray(kt.stft(x, w, hop=8))
+    fr = np.ascontiguousarray(y.real).astype(np.float32)
+    fi = np.ascontiguousarray(y.imag).astype(np.float32)
+    out = np.asarray(S.istft_stream_scan(fr, fi, w, hop=8))
+    assert snr_db(x.astype(np.float64), out) > SNR
+
+
+def test_istft_stream_flush_edge_cases():
+    w = np.ones(8, dtype=np.float32)
+    s = S.IstftStream(8, 8, w)                       # win == hop: no tail
+    s.push_frame(np.ones(8, np.float32), np.zeros(8, np.float32))
+    assert s.flush().shape == (0,)
+    s2 = S.IstftStream(8, 4, w)
+    assert s2.flush().shape == (0,)                  # nothing pushed yet

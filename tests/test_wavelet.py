@@ -97,3 +97,30 @@ def test_dwt_energy_preserved(rng):
     a, d = W.dwt(x, "db4")
     e = float(np.sum(np.asarray(a) ** 2) + np.sum(np.asarray(d) ** 2))
     assert e == pytest.approx(float(np.sum(x ** 2)), rel=1e-4)
+
+
+@pytest.mark.parametrize("family,n", [("db2", 4), ("db4", 8),
+                                      ("sym4", 8), ("coif1", 8)])
+def test_tiny_n_gather_analysis_matches_reference(rng, family, n):
+    """n < 2*taps takes the index-matrix gather path (multiple
+    reflections per tap window, wavelet.rs boundary semantics); parity
+    vs the same float64 oracle as the conv path."""
+    x = rng.standard_normal(n).astype(np.float32)
+    h, g, _, _ = W.FAMILIES[family]
+    assert n < 2 * len(h)          # really the gather path
+    ra, rd = wavelet_forward_ref(x, h, g)
+    a, d = W.wavelet_forward(x, family)
+    assert snr_db(ra, np.asarray(a)) > SNR, family
+    assert snr_db(rd, np.asarray(d)) > SNR, family
+
+
+@pytest.mark.parametrize("family,n_half", [("db2", 2), ("db4", 4),
+                                           ("sym4", 4), ("coif1", 4)])
+def test_tiny_n_scatter_synthesis_matches_reference(rng, family, n_half):
+    a = rng.standard_normal(n_half).astype(np.float32)
+    d = rng.standard_normal(n_half).astype(np.float32)
+    _, _, gs, hs = W.FAMILIES[family]
+    assert 2 * n_half < 2 * len(gs)
+    ref = wavelet_inverse_ref(a, d, gs, hs)
+    got = np.asarray(W.wavelet_inverse(a, d, family))
+    assert snr_db(ref, got) > SNR, family

@@ -59,6 +59,8 @@ def main(argv=None):
     ap.add_argument("--fail-under", type=float, default=90.0)
     ap.add_argument("--out", default=str(REPO / "benchmarks"
                                          / "coverage.json"))
+    ap.add_argument("--missing", action="store_true",
+                    help="record uncovered line ranges per file")
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -93,12 +95,24 @@ def main(argv=None):
         ht = hits.get(str(f), set()) & ex
         tot_exec += len(ex)
         tot_hit += len(ht)
-        per_file.append({
+        row = {
             "file": str(f.relative_to(REPO)),
             "executable": len(ex),
             "executed": len(ht),
             "percent": round(100.0 * len(ht) / max(1, len(ex)), 1),
-        })
+        }
+        if args.missing:
+            miss = sorted(ex - ht)
+            ranges, i = [], 0
+            while i < len(miss):
+                j = i
+                while j + 1 < len(miss) and miss[j + 1] == miss[j] + 1:
+                    j += 1
+                ranges.append(str(miss[i]) if i == j
+                              else f"{miss[i]}-{miss[j]}")
+                i = j + 1
+            row["missing"] = ranges
+        per_file.append(row)
     pct = 100.0 * tot_hit / max(1, tot_exec)
     doc = {
         "tool": "tools/coverage_gate.py (sys.monitoring, stdlib-only)",
