@@ -423,3 +423,56 @@ def test_smooth_split_and_parity(rng):
         hr, hi = fused_multilevel_rfft(jnp.asarray(xr), n, interpret=True)
         assert snr_db(np.fft.rfft(xr.astype(np.float64)),
                       np.asarray(hr) + 1j * np.asarray(hi)) > 120.0
+
+
+def test_dft_primitive_ad_rules_trace(rng):
+    """Mirror of the rdft trace test for the complex-planes primitive:
+    jvp (tangents ride the same transform), transpose (conjugate
+    direction), and batching rules all trace with consistent shapes."""
+    from kofft_tpu.ops.pallas_fft import pallas_fft_planes
+    n = 1 << 14
+    x = jax.ShapeDtypeStruct((3, n), jnp.float32)
+
+    out = jax.eval_shape(lambda a, b: pallas_fft_planes(a, b, n, False),
+                         x, x)
+    assert tuple(out[0].shape) == (3, n)
+
+    # inverse direction binds with inverse=True
+    outi = jax.eval_shape(lambda a, b: pallas_fft_planes(a, b, n, True),
+                          x, x)
+    assert tuple(outi[1].shape) == (3, n)
+
+    # jvp, including a symbolic-zero tangent on the imaginary plane
+    o, to = jax.eval_shape(
+        lambda a, b, da: jax.jvp(
+            lambda u, v: pallas_fft_planes(u, v, n, False),
+            (a, b), (da, jnp.zeros((3, n), jnp.float32))), x, x, x)
+    assert tuple(to[0].shape) == (3, n)
+
+    # vjp/transpose: cotangents pull back through the inverse direction
+    def vjp_shape(a, b, cr, ci):
+        _, pull = jax.vjp(lambda u, v: pallas_fft_planes(u, v, n, False),
+                          a, b)
+        return pull([cr, ci])
+    xbar = jax.eval_shape(vjp_shape, x, x, x, x)
+    assert tuple(xbar[0].shape) == (3, n)
+    assert tuple(xbar[1].shape) == (3, n)
+
+    # batching over a new leading dim; one operand broadcast
+    vx = jax.ShapeDtypeStruct((5, 3, n), jnp.float32)
+    vout = jax.eval_shape(
+        jax.vmap(lambda a: pallas_fft_planes(a, jnp.zeros((3, n),
+                                                          jnp.float32),
+                                             n, False)), vx)
+    assert tuple(vout[0].shape) == (5, 3, n)
+
+
+def test_pallas_supported_env_disable(monkeypatch):
+    """KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces the XLA path on any
+    platform (the reference's feature-gate escape hatch)."""
+    from kofft_tpu.ops.pallas_fft import pallas_supported
+    monkeypatch.setenv("KOFFT_TPU_DISABLE_PALLAS_FFT", "1")
+    assert not pallas_supported(1 << 20, "float32")
+    monkeypatch.delenv("KOFFT_TPU_DISABLE_PALLAS_FFT")
+    # off-TPU still false; the dtype gate rejects f64 regardless
+    assert not pallas_supported(1 << 20, "float64")

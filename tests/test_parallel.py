@@ -585,3 +585,80 @@ def test_fftn_sharded_hier_overlap_parity(rng):
     x2 = np.zeros((16, 16), np.float32)
     with pytest.raises(InvalidValueError):     # overlap without restore
         fftn_sharded_hier(x2, x2, mesh=mesh, overlap=2)
+
+
+def test_calibrate_scan_down_with_forced_win(mesh, monkeypatch):
+    """Deterministic calibration coverage: when sharding 'wins' at the
+    probe (forced via an instant fake), the probe scans DOWN to find the
+    smallest winning size and apply=True persists points-per-chip."""
+    from kofft_tpu.config import get_config, set_shard_threshold
+    import importlib
+    from kofft_tpu.parallel import auto as A
+    FS = importlib.import_module("kofft_tpu.parallel.fft_sharded")
+    monkeypatch.setattr(FS, "fft_sharded",
+                        lambda a, b, **kw: (a, b))    # instant 'winner'
+    try:
+        out = A.calibrate_shard_threshold(probe_points=1 << 13,
+                                          apply=True)
+        assert isinstance(out, int) and out > 0
+        d = A._usable_devices()
+        assert out <= (1 << 13) // d           # scanned at/below probe
+        assert get_config().shard_threshold == out
+    finally:
+        set_shard_threshold(None)
+
+
+def test_calibrate_single_device_returns_current(monkeypatch):
+    from kofft_tpu.config import get_config
+    from kofft_tpu.parallel import auto as A
+    monkeypatch.setattr(A, "_usable_devices", lambda: 1)
+    cur = get_config().shard_threshold
+    assert A.calibrate_shard_threshold(probe_points=1 << 12) == cur
+
+
+def test_calibrate_unprobeable_size_keeps_current(mesh, monkeypatch):
+    """_split_for_mesh -> None (size not factorable over the mesh):
+    the probe leaves the threshold untouched."""
+    from kofft_tpu.config import get_config
+    import importlib
+    from kofft_tpu.parallel import auto as A
+    FS = importlib.import_module("kofft_tpu.parallel.fft_sharded")
+    monkeypatch.setattr(FS, "_split_for_mesh", lambda n, d: None)
+    cur = get_config().shard_threshold
+    assert A.calibrate_shard_threshold(probe_points=1 << 12) == cur
+
+
+def test_stft_auto_falls_through_on_small_or_indivisible(rng, mesh):
+    """Signals that don't meet the halo/divisibility preconditions take
+    the single-chip path regardless of the threshold."""
+    import kofft_tpu as kt
+    from kofft_tpu.ops import window as W
+    from kofft_tpu.parallel.auto import stft_auto
+    x = rng.standard_normal(40).astype(np.float32)  # 40 % (8*4) != 0
+    w = np.asarray(W.hann(8))
+    yr, yi = stft_auto(x, w, hop=4)
+    rr, ri = kt.stft_split(x, w, hop=4)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(rr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), atol=1e-6)
+
+
+def test_fft_auto_overlap_chunk_fallback(rng, mesh):
+    """fft_auto reduces overlap chunks until they divide both factors
+    (config overlap_chunks larger than the divisibility allows)."""
+    from kofft_tpu import config as C
+    from kofft_tpu.parallel.auto import fft_auto
+    from kofft_tpu.ops.dft import snr_db
+    n = 1 << 14
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    old_thr = C.get_config().shard_threshold
+    old_ov = C.get_config().overlap_chunks
+    try:
+        C.set_shard_threshold(1)               # force the sharded branch
+        C.set_overlap_chunks(64)               # force the k //= 2 loop
+        yr, yi = fft_auto(xr, xi)
+        ref = np.fft.fft((xr + 1j * xi).astype(np.complex128))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 80.0
+    finally:
+        C.set_shard_threshold(old_thr if old_thr else None)
+        C.set_overlap_chunks(old_ov)
