@@ -148,7 +148,7 @@ def main() -> None:
 
     # ---- smooth non-pow2 sizes (VERDICT r2 missing #5) ----------------
     # coverage between "pow2" and "Bluestein". Zone decision (r3):
-    # odd*2^k with odd <= 31 rides the PHASED PALLAS kernel (odd factor
+    # odd*2^k with odd <= 23 rides the PHASED PALLAS kernel (odd factor
     # in n1, in-kernel odd*2^c <= 32 DFT leaves): 149.3 us at 3*2^18 and
     # 61.4 at 5*2^16 vs the XLA tree's 163.1/71.1. Larger odd parts
     # (10^6 = 2^6*5^6) stay on the mixed-radix matmul tree, which beats

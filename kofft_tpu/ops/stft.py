@@ -425,6 +425,9 @@ class StftPushStream:
         win, hop = self._w.shape[0], self._hop
         kb = 1 << max(0, (k - 1).bit_length())    # pow2 bucket
         need = win + (kb - 1) * hop
+        # seg.size <= need always: push slices exactly win+(k-1)*hop and
+        # at flush every unemitted frame is partial (end - _pos < win),
+        # so padding up to the bucket is the only relayout (fuzz-checked)
         if seg.size < need:
             seg = np.concatenate(
                 [seg, np.zeros(need - seg.size, seg.dtype)])

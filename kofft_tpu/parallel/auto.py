@@ -32,16 +32,24 @@ def _usable_devices() -> int:
 def fftn_auto(xr, xi, axis_name: str = "d", inverse: bool = False):
     """N-D FFT planes: sharded when worth it and shapes divide, else local.
 
-    Returns (yr, yi); sharded results keep their device sharding (last
-    axis) — call ``np.asarray`` to gather.
+    Returns (yr, yi) in natural (axis-0-sharded) layout; sharded results
+    stay device-resident — call ``np.asarray`` to gather. Like
+    :func:`fft_auto`, the sharded program uses the largest overlap
+    chunking <= ``config.overlap_chunks`` that divides the last axis, so
+    the all_to_alls fly behind the per-axis compute.
     """
+    from ..config import get_config
     d = _usable_devices()
     shape = np.shape(xr)
     total = int(np.prod(shape))
     if (d > 1 and len(shape) >= 2 and should_shard(total, d)
             and shape[0] % d == 0 and shape[-1] % d == 0):
+        k = max(1, get_config().overlap_chunks)
+        while k > 1 and shape[-1] % (d * k):
+            k //= 2
         return fftn_sharded(xr, xi, mesh=make_mesh(d, axis_name),
-                            axis_name=axis_name, inverse=inverse)
+                            axis_name=axis_name, inverse=inverse,
+                            restore_layout=True, overlap=k)
     return fftn_split(xr, xi, inverse=inverse)
 
 
@@ -176,7 +184,7 @@ def calibrate_shard_threshold(axis_name: str = "d",
     first = _shard_wins(n)
     if first:
         best = n // d                      # threshold is points-per-chip
-        for _ in range(4):                 # scan down: smallest winning n
+        while True:                        # scan down: smallest winning n
             n //= 2
             if n < 1 << 10:
                 break
@@ -185,9 +193,9 @@ def calibrate_shard_threshold(axis_name: str = "d",
                 break
             best = n // d                  # deepest measured win counts
     elif first is not None:
-        for _ in range(4):                 # scan up: does sharding EVER pay?
+        while True:                        # scan up: does sharding EVER pay?
             n *= 2
-            if n > max_points:
+            if n > max_points:             # full octave ladder to max_points
                 break
             win = _shard_wins(n)
             if win:

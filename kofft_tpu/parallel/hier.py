@@ -235,7 +235,7 @@ def _build_fft_hier_overlap(mesh, n: int, n1: int, n2: int, backend: str,
 
         # ---- stage B: K independent (a2a-pair -> DFT -> restore) chains
         outs = []
-        r0 = ca // (c * s)         # finest j2 run length
+        r0 = ra                    # finest j2 run length == ca // d
         for q in range(k_chunks):
             sr = _hier_repencil(yr_all[:, q * cb:(q + 1) * cb],
                                 c_name, s_name)         # (n2, rb)
@@ -299,8 +299,8 @@ def fft_sharded_hier(xr, xi, mesh: Optional[Mesh] = None,
     n = xr.shape[0]
     from .fft_sharded import _split_for_mesh
     split = (n1, n // n1) if n1 else _split_for_mesh(n, d)
-    require(split is not None and split[0] % d == 0 and split[1] % d == 0,
-            InvalidValueError,
+    require(split is not None and n % split[0] == 0
+            and split[0] % d == 0 and split[1] % d == 0, InvalidValueError,
             f"n={n} has no n1*n2 factorization with both factors "
             f"divisible by the mesh size {d}")
     if inverse:

@@ -304,3 +304,96 @@ def test_asnumpy_paths(rng):
     c = a + 1j * a[::-1].copy()
     got = asnumpy(jnp.asarray(c))
     assert np.allclose(got, c, atol=1e-6)
+
+
+def test_asnumpy_complex_transfer_fallbacks(rng, monkeypatch):
+    """The axon-transport fallbacks, simulated hermetically: (a) direct
+    complex download refused -> split into (re, im) planes on device and
+    recombine on host; (b) transport that can neither transfer nor
+    re-feed complex buffers -> the typed RuntimeError naming the
+    *_split APIs (kofft_tpu/utils/transfer.py)."""
+    import jax
+    import jax.numpy as jnp
+    from kofft_tpu.utils import transfer
+
+    c = rng.standard_normal(8).astype(np.float32)
+    c = c + 1j * c[::-1].copy()
+    dev = jnp.asarray(c)
+    real_asarray = np.asarray
+
+    def deny_complex(a, *args, **kw):
+        if isinstance(a, jax.Array) and jnp.iscomplexobj(a):
+            raise jax.errors.JaxRuntimeError("UNIMPLEMENTED: complex")
+        return real_asarray(a, *args, **kw)
+
+    monkeypatch.setattr(transfer.np, "asarray", deny_complex)
+    got = transfer.asnumpy(dev)
+    monkeypatch.undo()
+    assert np.allclose(got, c, atol=1e-6)
+
+    def deny_all(a, *args, **kw):
+        if isinstance(a, jax.Array):
+            raise jax.errors.JaxRuntimeError("UNIMPLEMENTED: transfer")
+        return real_asarray(a, *args, **kw)
+
+    monkeypatch.setattr(transfer.np, "asarray", deny_all)
+    try:
+        with pytest.raises(RuntimeError, match="_split"):
+            transfer.asnumpy(dev)
+    finally:
+        monkeypatch.undo()
+
+
+def test_read_via_ffmpeg_fake_decoder(tmp_path, monkeypatch):
+    """Decode command construction + f32le parse, with a faked ffmpeg
+    (this image has none): probed-rate path keeps the stream rate;
+    probe-failure path force-resamples to 44100 and reports that rate
+    (a silently wrong rate would skew every downstream bin mapping)."""
+    import shutil
+    import subprocess as sp
+    from kofft_tpu.utils import audio as A
+
+    samples = np.linspace(-0.5, 0.5, 64).astype("<f4")
+    calls = []
+
+    def fake_which(name):
+        return f"/fake/{name}"
+
+    def fake_run(cmd, capture_output=None, text=None, check=None):
+        calls.append(cmd)
+        class R:
+            pass
+        r = R()
+        if "ffprobe" in cmd[0]:
+            r.stdout = "22050\n"
+            return r
+        assert cmd[:2] == ["/fake/ffmpeg", "-v"]
+        r.stdout = samples.tobytes()
+        return r
+
+    monkeypatch.setattr(shutil, "which", fake_which)
+    monkeypatch.setattr(sp, "run", fake_run)
+    monkeypatch.setattr(A, "subprocess", sp)
+    p = tmp_path / "x.mp3"
+    p.write_bytes(b"\x00")
+    data, sr = A.read_audio(p)
+    assert sr == 22050 and np.allclose(data, samples)
+    assert not any("-ar" in c for c in calls)     # probed rate: no resample
+
+    calls.clear()
+
+    def fake_run_noprobe(cmd, capture_output=None, text=None, check=None):
+        calls.append(cmd)
+        class R:
+            pass
+        r = R()
+        if "ffprobe" in cmd[0]:
+            raise sp.CalledProcessError(1, cmd)
+        r.stdout = samples.tobytes()
+        return r
+
+    monkeypatch.setattr(sp, "run", fake_run_noprobe)
+    data, sr = A.read_audio(p)
+    assert sr == 44100                            # forced resample rate
+    assert any("-ar" in c for c in calls)
+    assert np.allclose(data, samples)

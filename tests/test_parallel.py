@@ -662,3 +662,48 @@ def test_fft_auto_overlap_chunk_fallback(rng, mesh):
     finally:
         C.set_shard_threshold(old_thr if old_thr else None)
         C.set_overlap_chunks(old_ov)
+
+
+def test_fftn_auto_wires_overlap(rng, mesh, monkeypatch):
+    """fftn_auto passes the configured (divisibility-degraded) overlap
+    chunking through to fftn_sharded (r3 review: the config docstring
+    promises both auto paths pipeline collectives, not just the 1-D one)."""
+    from kofft_tpu import config as C
+    from kofft_tpu.parallel import auto as A
+    seen = {}
+
+    def spy(xr, xi, **kw):
+        seen.update(kw)
+        from kofft_tpu.parallel.ndfft_sharded import fftn_sharded
+        return fftn_sharded(xr, xi, **kw)
+
+    monkeypatch.setattr(A, "fftn_sharded", spy)
+    x = (rng.standard_normal((16, 16))
+         + 1j * rng.standard_normal((16, 16))).astype(np.complex64)
+    ref = np.fft.fft2(x.astype(np.complex128))
+    old_ov = C.get_config().overlap_chunks
+    try:
+        C.set_shard_threshold(1)               # force the sharded branch
+        C.set_overlap_chunks(64)               # must degrade: 16 % (8*64)
+        yr, yi = A.fftn_auto(np.ascontiguousarray(x.real),
+                             np.ascontiguousarray(x.imag))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > SNR
+        d = len(jax.devices())
+        k = seen.get("overlap")
+        assert k is not None and k >= 1 and 16 % (d * k) == 0
+        assert seen.get("restore_layout") is True
+    finally:
+        C.set_shard_threshold(None)
+        C.set_overlap_chunks(old_ov)
+
+
+def test_fft_sharded_hier_rejects_nondividing_n1():
+    """A user n1 that does not divide n must fail eagerly with the typed
+    error, not an opaque reshape error inside shard_map (r3 review; the
+    flat fft_sharded has had this check since r2)."""
+    from kofft_tpu.errors import InvalidValueError
+    from kofft_tpu.parallel.hier import fft_sharded_hier, make_hier_mesh
+    n = 1092
+    x = np.zeros(n, np.float32)
+    with pytest.raises(InvalidValueError):
+        fft_sharded_hier(x, x, mesh=make_hier_mesh(2, 2), n1=16)
