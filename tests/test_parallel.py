@@ -707,3 +707,36 @@ def test_fft_sharded_hier_rejects_nondividing_n1():
     x = np.zeros(n, np.float32)
     with pytest.raises(InvalidValueError):
         fft_sharded_hier(x, x, mesh=make_hier_mesh(2, 2), n1=16)
+
+
+def test_calibrate_scan_up_reaches_max_points(mesh, monkeypatch):
+    """The upward scan walks the full octave ladder to max_points (r3
+    review: a hard 4-iteration cap stopped at probe*16, contradicting
+    the docstring): a win found 5 octaves above the probe is applied."""
+    import importlib
+    import time as _time
+    from kofft_tpu.config import get_config, set_shard_threshold
+    from kofft_tpu.parallel import auto as A
+    FS = importlib.import_module("kofft_tpu.parallel.fft_sharded")
+    win_at = 1 << 17                               # probe 1<<12 + 5 octaves
+
+    def fake_sharded(a, b, **kw):
+        if a.shape[0] < win_at:
+            _time.sleep(0.004)                     # sharding loses below
+        return a, b
+
+    def fake_local(a, b, **kw):
+        _time.sleep(0.002)                         # local path: constant
+        return a, b
+
+    monkeypatch.setattr(FS, "fft_sharded", fake_sharded)
+    import kofft_tpu.ops.fft as OF
+    monkeypatch.setattr(OF, "fft_split", fake_local)
+    try:
+        out = A.calibrate_shard_threshold(probe_points=1 << 12, apply=True,
+                                          max_points=1 << 18)
+        d = A._usable_devices()
+        assert out == win_at // d                  # found BEYOND 4 octaves
+        assert get_config().shard_threshold == out
+    finally:
+        set_shard_threshold(None)
