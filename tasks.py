@@ -46,19 +46,24 @@ def cmd_bench(_args) -> int:
     return subprocess.call([sys.executable, "bench.py"], cwd=REPO)
 
 
-def cmd_chipcheck(_args) -> int:
+def cmd_chipcheck(args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
     public API at 2^14..2^22 plus smooth odd*2^k sizes on the real
     chip and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
-    choreography is correct at real sizes)."""
+    choreography is correct at real sizes). With ``--record`` the
+    results land in benchmarks/chipcheck.json (platform + per-size SNR
+    rows) so the evidence is committable, mirroring the bench-history
+    workflow."""
     code = """
-import numpy as np, jax.numpy as jnp
+import json, sys
+import numpy as np, jax, jax.numpy as jnp
 import kofft_tpu as kt
 from kofft_tpu.ops.dft import snr_db
 rng = np.random.default_rng(11)
 ok = True
+rows = []
 for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
     xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -70,11 +75,23 @@ for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
     sr = snr_db(np.fft.rfft(np.asarray(xr).astype(np.float64)),
                 np.asarray(hr) + 1j * np.asarray(hi))
     print(f"n={n}: complex {s:.1f} dB, rfft {sr:.1f} dB")
+    rows.append({"n": n, "complex_snr_db": round(float(s), 1),
+                 "rfft_snr_db": round(float(sr), 1)})
     ok &= s > 130 and sr > 130
+if "--record" in sys.argv[1:]:
+    out = {"platform": jax.default_backend(),
+           "device": jax.devices()[0].device_kind,
+           "threshold_db": 130, "ok": bool(ok), "rows": rows}
+    with open("benchmarks/chipcheck.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote benchmarks/chipcheck.json")
 print("chipcheck:", "OK" if ok else "FAILED")
 raise SystemExit(0 if ok else 1)
 """
-    return subprocess.call([sys.executable, "-c", code], cwd=REPO)
+    cmd = [sys.executable, "-c", code]
+    if getattr(args, "record", False):
+        cmd.append("--record")
+    return subprocess.call(cmd, cwd=REPO)
 
 
 def cmd_coverage(_args) -> int:
@@ -182,7 +199,8 @@ def main(argv=None) -> int:
     t.add_argument("-k", default=None)
     t.add_argument("-x", action="store_true")
     sub.add_parser("bench")
-    sub.add_parser("chipcheck")
+    c = sub.add_parser("chipcheck")
+    c.add_argument("--record", action="store_true")
     sub.add_parser("coverage")
     sub.add_parser("lint")
     s = sub.add_parser("sanity")
