@@ -89,6 +89,18 @@ def main() -> None:
                                    tm * 1e9, 1.0 / tm, platform))
         log(f"c32 FFT 2^{p2}: {tm * 1e6:.1f} us")
 
+    # scratch-ceiling row: 2^22 is the largest size the phased one-call
+    # kernel serves (VMEM C-matrix scratch, ops/pallas_kernels.py
+    # _PHASED_MAX_N); chipcheck pins its parity, this row pins its perf
+    n22 = 1 << 22
+    xr22 = jnp.asarray(rng.standard_normal(n22).astype(np.float32))
+    xi22 = jnp.asarray(rng.standard_normal(n22).astype(np.float32))
+    t22 = timeit_chained(lambda q: kt.fft_split(q[0], q[1]), (xr22, xi22),
+                         iters=50)
+    records.append(BenchRecord("kofft_tpu", "complex", n22, "single",
+                               t22 * 1e9, 1.0 / t22, platform))
+    log(f"c32 FFT 2^22: {t22 * 1e3:.3f} ms ({n22 / t22 / 1e9:.3f} Gpts/s)")
+
     # batched throughput row (the production-serving shape)
     bt = 8
     xrb = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
@@ -250,6 +262,41 @@ def main() -> None:
                                nframes / tistft, platform))
     log(f"ISTFT 2^20 samples: {tistft * 1e3:.3f} ms "
         f"= {nframes / tistft / 1e6:.2f} Mframes/s")
+
+    # throughput tier for the config-#3 workload: the batched n=1024
+    # frame transform is the whole STFT cost (framing alone is ~16 us;
+    # benchmarks/exp_stft_tier.py), and `default` matmuls cut it ~2.3x.
+    # SNR columns: STFT spectra vs the f64 numpy oracle; ISTFT
+    # reconstruction vs the original signal (roundtrip).
+    try:
+        set_precision("default")
+        tstft_d = timeit_chained_scalar(stft_step, sig)
+        s64 = np.asarray(sig).astype(np.float64)
+        pad64 = np.zeros((nframes + win // hop - 1) * hop)
+        pad64[: 1 << 20] = s64
+        fidx = (np.arange(nframes)[:, None] * hop
+                + np.arange(win)[None, :])
+        st64 = np.fft.rfft(pad64[fidx] * np.asarray(w, dtype=np.float64))
+        dfr, dfi = kt.stft_split(np.asarray(sig), w, hop, onesided=True)
+        stsnr = float(snr_db(st64, np.asarray(dfr) + 1j * np.asarray(dfi)))
+        records.append(BenchRecord("kofft_tpu", "stft_frames", nframes,
+                                   "single_fast", tstft_d * 1e9 / nframes,
+                                   nframes / tstft_d, platform,
+                                   snr_db=stsnr))
+        tistft_d = timeit_chained_scalar(istft_step, (sfr, sfi))
+        yrec = kt.istft_split(np.asarray(sfr), np.asarray(sfi), w, hop,
+                              length=1 << 20)
+        recsnr = float(snr_db(s64, np.asarray(yrec)))
+        records.append(BenchRecord("kofft_tpu", "istft_frames", nframes,
+                                   "single_fast", tistft_d * 1e9 / nframes,
+                                   nframes / tistft_d, platform,
+                                   snr_db=recsnr))
+        log(f"default tier: STFT {tstft_d * 1e3:.3f} ms "
+            f"({nframes / tstft_d / 1e6:.2f} Mframes/s, {stsnr:.1f} dB), "
+            f"ISTFT {tistft_d * 1e3:.3f} ms "
+            f"(roundtrip {recsnr:.1f} dB)")
+    finally:
+        set_precision(None)
 
     # ---- BASELINE config #2: rfft + DCT-II/DST-II over 4096x1024 real
     # frames (examples/rfft_usage.rs, dct_usage.rs workload shape) --------

@@ -712,23 +712,29 @@ def test_fft_sharded_hier_rejects_nondividing_n1():
 def test_calibrate_scan_up_reaches_max_points(mesh, monkeypatch):
     """The upward scan walks the full octave ladder to max_points (r3
     review: a hard 4-iteration cap stopped at probe*16, contradicting
-    the docstring): a win found 5 octaves above the probe is applied."""
+    the docstring): a win found 5 octaves above the probe is applied.
+
+    Timing is faked with a simulated perf_counter clock the fakes
+    advance, not real sleeps — sleep-based fakes proved flaky when the
+    suite shares the machine with a chip benchmark (a loaded scheduler
+    can stretch a 2 ms sleep past the loser's 4 ms)."""
     import importlib
     import time as _time
     from kofft_tpu.config import get_config, set_shard_threshold
     from kofft_tpu.parallel import auto as A
     FS = importlib.import_module("kofft_tpu.parallel.fft_sharded")
     win_at = 1 << 17                               # probe 1<<12 + 5 octaves
+    clock = [0.0]
 
     def fake_sharded(a, b, **kw):
-        if a.shape[0] < win_at:
-            _time.sleep(0.004)                     # sharding loses below
+        clock[0] += 4.0 if a.shape[0] < win_at else 1.0
         return a, b
 
     def fake_local(a, b, **kw):
-        _time.sleep(0.002)                         # local path: constant
+        clock[0] += 2.0                            # local path: constant
         return a, b
 
+    monkeypatch.setattr(_time, "perf_counter", lambda: clock[0])
     monkeypatch.setattr(FS, "fft_sharded", fake_sharded)
     import kofft_tpu.ops.fft as OF
     monkeypatch.setattr(OF, "fft_split", fake_local)
