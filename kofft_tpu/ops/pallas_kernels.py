@@ -921,6 +921,15 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
                             _kernel_precision(), flat=True)
         return run(1, ar, ai)
     if _use_phased(n, bt):
+        # batched rows keep the (b, phases) grid. A lax.scan of the b=1
+        # launch is 17-24% faster on PRE-TILED (b, n1, n2) operands
+        # (131.1 vs 157.9 us/row at 8x2^20 HIGHEST) but LOSES behind the
+        # public flat (b, n) boundary: the flat->tiled relayout that XLA
+        # elides into the single batched custom-call must fully
+        # materialize when a scan dynamic-slices it (public 1.443 ms vs
+        # 1.343 grid). benchmarks/exp_batch_scan.py is the measurement
+        # record — negative result for the public path, do not retry
+        # without a tiled-layout public escape hatch.
         run = _build_phased(n, str(xr.dtype), interpret,
                             _kernel_precision())
         yr, yi = run(b, ar, ai)
@@ -971,6 +980,11 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         yr, yi = run(1, x.reshape(1, n1, n2))
         return yr, yi
     if _use_phased(n, bt):
+        # batched REAL rows keep the (b, phases) grid: the lax.scan-of-
+        # b=1 restructure that wins for complex (exp_batch_scan.py)
+        # measured 145.1 vs 138.6 us/row here — stage 1 reads one plane
+        # (half the input DMA) and the 4 outputs drain smaller blocks,
+        # so the grid already overlaps; negative result, do not retry
         run = _build_phased(n, str(x.dtype), interpret,
                             _kernel_precision(), real=True)
         hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))

@@ -54,6 +54,22 @@ def test_kernel_batch_interpret(rng):
     assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
 
 
+def test_phased_batched_grid_parity_interpret(rng, monkeypatch):
+    """Batched rows through the phased kernel's (b, phases) grid (the
+    chip path for b > 1 at n >= 2^20; a lax.scan restructure is a
+    recorded negative result — benchmarks/exp_batch_scan.py). Forcing
+    bt=1 exercises the b > 1 phased branch at a CPU-friendly size."""
+    from kofft_tpu.ops import pallas_kernels as PK
+    monkeypatch.setattr(PK, "_ml_batch_tile", lambda b, n1, n2: 1)
+    n = 1 << 14
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    y = rng.standard_normal((3, n)).astype(np.float32)
+    yr, yi = PK.fused_multilevel_fft(x, y, n, interpret=True)
+    assert yr.shape == (3, n)
+    ref = np.fft.fft(x.astype(np.float64) + 1j * y.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
 @pytest.mark.parametrize("n", [1 << 14, 1 << 15])
 def test_multilevel_kernel_parity_interpret(rng, n):
     from kofft_tpu.ops.pallas_kernels import fused_multilevel_fft
