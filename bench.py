@@ -365,14 +365,20 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # noqa: BLE001
         # The tunneled TPU worker occasionally crashes mid-run
-        # (UNAVAILABLE: worker process crashed); the backend in this
-        # process is then dead, so retry exactly once in a FRESH process.
+        # (UNAVAILABLE: worker process crashed) or wedges for a few
+        # minutes (FAILED_PRECONDITION on every download, observed r3,
+        # recovers on its own); the backend in this process is then
+        # dead, so let the tunnel settle and retry once in a FRESH
+        # process.
         import os
+        import time
         if (type(e).__name__ == "JaxRuntimeError"
-                and "UNAVAILABLE" in str(e)
+                and ("UNAVAILABLE" in str(e)
+                     or "FAILED_PRECONDITION" in str(e))
                 and os.environ.get("KOFFT_BENCH_RETRY") != "1"):
-            log("TPU worker crashed; retrying bench once in a fresh "
-                "process...")
+            log(f"TPU backend error ({str(e)[:80]}...); retrying bench "
+                "once in a fresh process after a 90 s settle...")
+            time.sleep(90)
             env = dict(os.environ, KOFFT_BENCH_RETRY="1")
             os.execve(sys.executable,
                       [sys.executable] + sys.argv, env)
