@@ -76,7 +76,10 @@ def _pow2_split(n: int):
     Pow2 n: n1 is the balanced power of two capped at 2048 (at 2^24 the
     (2048, 8192) split measures 14% faster than balanced (4096, 4096) —
     stage-1 VMEM pressure grows with n1 while stage 2 tolerates long
-    rows). Smooth non-pow2 n (r3): the odd factor lives in n1 (the
+    rows). At 2^22 the balanced (2048, 2048) was re-probed against
+    (1024, 4096) and (512, 8192) on the phased kernel (r3): balanced
+    wins by 10-15% — longer n2 lines add leaf levels faster than the
+    shorter stage-1 saves; do not retry. Smooth non-pow2 n (r3): the odd factor lives in n1 (the
     stage-1 line length), whose in-kernel recursion bottoms out at an
     odd*2^c <= 32 DFT leaf — so 3*2^18, 5*2^16, 10^6-adjacent sizes ride
     the same one-pass phased kernel instead of the XLA matmul tree
