@@ -72,11 +72,17 @@ def _axis_einsum_planes(xr, xi, axes: tuple, inverse: bool, dtype: str):
     Measured (v5e, 128^3 c32, chained): 199.5 us vs 240.2 for XLA's
     fused fftn, 246.0 for the 4-mult form, 304.2 for the rotation
     formulation ('kj,abj->kab'), and 243.5 for the r1 moveaxis engine —
-    the only formulation that beats the XLA built-in here, and the one
-    place where Gauss DOES pay in XLA-land (the 128^3 planes stay
+    the only XLA formulation that beats the XLA built-in here, and the
+    one place where Gauss DOES pay in XLA-land (the 128^3 planes stay
     VMEM-resident across the chain, so the einsums are pass-bound, not
     HBM-bound). SNR 135.3 dB vs f64. Inverse via conjugation; the 1/n
-    scaling is applied by the caller per axis convention."""
+    scaling is applied by the caller per axis convention.
+
+    On TPU the pow2 [128, 512]-axis subclass now routes one level
+    higher to the fused one-call Pallas kernel (175.4 us at 128^3,
+    ``pallas_kernels.fused_nd_zone``); this einsum path remains the
+    engine for CPU/f64, non-pow2 small axes, partial-axes transforms,
+    and sub-2^17 grids."""
     from ..config import lax_precision
     from ..plan import tables
     if inverse:
@@ -112,6 +118,21 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
         y = (jnp.fft.ifftn(x, axes=axes) if inverse
              else jnp.fft.fftn(x, axes=axes))
         return jnp.real(y), jnp.imag(y)
+    if (backend in ("auto", "pallas")
+            and _platform_default() == "pallas" and dtype == "float32"):
+        from . import pallas_kernels as PK
+        from .pallas_fft import pallas_supported
+        # the env kill-switch and TPU gate ride pallas_supported's
+        # smallest served size; the shape gate is the fused-nd zone
+        if (pallas_supported(1 << 14, dtype)
+                and PK.fused_nd_zone(xr.shape, axes)):
+            yr, yi = PK.fused_ndfft_planes(xr, xi, inverse)
+            if inverse:
+                scale = 1.0
+                for a in axes:
+                    scale = scale * xr.shape[a]
+                yr, yi = yr / scale, yi / scale
+            return yr, yi
     if (backend in ("auto", "xla", "pallas")
             and _small_axes_zone(xr.shape, axes)):
         yr, yi = _axis_einsum_planes(xr, xi, axes, inverse, dtype)

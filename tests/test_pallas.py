@@ -492,3 +492,46 @@ def test_pallas_supported_env_disable(monkeypatch):
     monkeypatch.delenv("KOFFT_TPU_DISABLE_PALLAS_FFT")
     # off-TPU still false; the dtype gate rejects f64 regardless
     assert not pallas_supported(1 << 20, "float64")
+
+
+def test_fused_nd_zone_table():
+    from kofft_tpu.ops.pallas_kernels import fused_nd_zone
+    assert fused_nd_zone((128, 128, 128), (0, 1, 2))
+    assert fused_nd_zone((512, 512), (0, 1))
+    assert fused_nd_zone((512, 256), (0, 1))
+    assert fused_nd_zone((512, 256), (1, -2))         # axis aliases
+    assert not fused_nd_zone((256, 256), (0, 1))      # below min points
+    assert not fused_nd_zone((1024, 1024), (0, 1))    # dense 1024 loses
+    assert not fused_nd_zone((64, 64, 64), (0, 1, 2))  # Mosaic crash gate
+    assert not fused_nd_zone((256, 256, 128), (0, 1, 2))  # VMEM budget
+    assert not fused_nd_zone((512, 512), (0,))        # partial axes
+    assert not fused_nd_zone((512, 384), (0, 1))      # non-pow2 axis
+
+
+def test_fused_nd_parity_interpret(rng):
+    """One-call all-axes kernel vs the f64 oracle (forward + inverse
+    roundtrip) at an in-zone rank-2 shape."""
+    from kofft_tpu.ops.pallas_kernels import fused_ndfft_planes
+    shape = (512, 256)
+    xr = rng.standard_normal(shape).astype(np.float32)
+    xi = rng.standard_normal(shape).astype(np.float32)
+    yr, yi = fused_ndfft_planes(jnp.asarray(xr), jnp.asarray(xi),
+                                interpret=True)
+    ref = np.fft.fftn(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+    br, bi = fused_ndfft_planes(yr, yi, inverse=True, interpret=True)
+    n = shape[0] * shape[1]
+    got = (np.asarray(br) + 1j * np.asarray(bi)) / n
+    assert snr_db(xr.astype(np.float64) + 1j * xi.astype(np.float64),
+                  got) > 100.0
+
+
+def test_fused_nd_parity_interpret_3d(rng):
+    from kofft_tpu.ops.pallas_kernels import fused_ndfft_planes
+    shape = (128, 128, 128)
+    xr = rng.standard_normal(shape).astype(np.float32)
+    xi = rng.standard_normal(shape).astype(np.float32)
+    yr, yi = fused_ndfft_planes(jnp.asarray(xr), jnp.asarray(xi),
+                                interpret=True)
+    ref = np.fft.fftn(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
