@@ -49,8 +49,8 @@ def cmd_bench(_args) -> int:
 def cmd_chipcheck(args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
-    public API at 2^14..2^22 plus smooth odd*2^k sizes on the real
-    chip and reports SNR vs the
+    public API at 2^14..2^22 plus smooth odd*2^k sizes and the fused
+    N-D zone (128^3, 512^2) on the real chip and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
     choreography is correct at real sizes). With ``--record`` the
     results land in benchmarks/chipcheck.json (platform + per-size SNR
@@ -78,6 +78,18 @@ for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
     rows.append({"n": n, "complex_snr_db": round(float(s), 1),
                  "rfft_snr_db": round(float(sr), 1)})
     ok &= s > 130 and sr > 130
+from kofft_tpu.ops import ndfft as NF
+for shape in [(128, 128, 128), (512, 512)]:
+    ar = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    ai = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    br, bi = NF.fftn_split(ar, ai)
+    rn = np.fft.fftn(np.asarray(ar).astype(np.float64)
+                     + 1j * np.asarray(ai).astype(np.float64))
+    sn = snr_db(rn, np.asarray(br) + 1j * np.asarray(bi))
+    print(f"fftn {shape}: {sn:.1f} dB")
+    rows.append({"n": "x".join(map(str, shape)),
+                 "fftn_snr_db": round(float(sn), 1)})
+    ok &= sn > 130
 if "--record" in sys.argv[1:]:
     out = {"platform": jax.default_backend(),
            "device": jax.devices()[0].device_kind,
