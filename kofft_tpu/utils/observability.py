@@ -24,7 +24,8 @@ def enable_compilation_cache(path: str | Path = "~/.cache/kofft_tpu_xla"
     return p
 
 
-def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=()):
+def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=(),
+            ndfft_shapes=()):
     """Pre-build tables and compile executables for the given FFT sizes
     (the analog of the reference's compile-time twiddle embedding,
     ``build.rs:6-95``): after ``prewarm``, first real calls are cache hits.
@@ -62,6 +63,15 @@ def prewarm(sizes, batch_shape: tuple = (), rfft_sizes=()):
     for n in rfft_sizes:
         z = jnp.zeros((*batch_shape, n), jnp.float32)
         jax.block_until_ready(rfft_split(z))
+    for shape in ndfft_shapes:
+        # worth warming ahead of time: the fused one-call N-D kernel's
+        # Mosaic compile runs ~245 s cold at 128^3 (54 HIGHEST MXU loop
+        # nests); with enable_compilation_cache it is paid once per
+        # machine
+        from ..ops.ndfft import fftn_split
+        z = jnp.zeros(tuple(shape), jnp.float32)
+        yr, yi = fftn_split(z, z)
+        jax.block_until_ready(fftn_split(yr, yi, inverse=True))
 
 
 @contextlib.contextmanager

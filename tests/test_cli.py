@@ -179,7 +179,8 @@ def test_non_wav_without_ffmpeg_errors(tmp_path, monkeypatch):
 
 def test_prewarm():
     from kofft_tpu.utils.observability import prewarm
-    prewarm([64], rfft_sizes=[64])  # smoke: compiles without error
+    # smoke: compiles without error, incl. the N-D entry
+    prewarm([64], rfft_sizes=[64], ndfft_shapes=[(8, 8)])
 
 
 def test_sanity_check_main_inprocess(tmp_path, wav_440):
