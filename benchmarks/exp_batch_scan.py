@@ -29,10 +29,20 @@ array is catastrophic (sublane gather). The real kernel's grid already
 overlaps (stage 1 reads one plane — half the input DMA — and its 4
 outputs drain smaller blocks), so even raw scan loses there.
 
-Verdict: the batched grid stays the public path for all kernels. The
-scan win is only reachable through a tiled-layout public escape hatch
-(callers holding (b, n1, n2) planes), not worth the API surface. Do
-not retry without that.
+Verdict: the batched grid stays the public path for all kernels.
+
+r3 addendum — the scan win is also COMPILER-DEPENDENT: a tiled-layout
+escape hatch (`fft_split_tiled`) was built to capture it, but by then
+the session's axon compile helper had restarted and the identical scan
+program stopped compiling — XLA pins the scan-sliced pallas result
+into VMEM (S(1)) and overflows the 16 MB scoped-vmem stack ("Scoped
+allocation with size 16.89M and limit 16.00M"; the knob,
+xla_tpu_scoped_vmem_limit_kib, is backend-side and not
+client-settable). An optimization_barrier around the kernel call makes
+it compile but measures 158.9 us/row — the grid's time, win gone. The
+tiled API therefore ships on the batched grid (its relayout-skipping
+pipeline value stands on its own); re-attempt the scan only after
+compiling it on the current toolchain.
 
 Run: python benchmarks/exp_batch_scan.py   (on the attached TPU)
 """

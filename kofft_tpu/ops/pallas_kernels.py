@@ -1103,6 +1103,33 @@ def _build_fused_nd(shape: tuple, dtype: str = "float32",
     return lambda ar, ai: f(ar, ai, *[jnp.asarray(c) for c in consts])
 
 
+def phased_tiled_fft(ar, ai, interpret: bool = False):
+    """Forward unnormalized DFT on TILED (b, m, m) planes, n = m*m:
+    flat row-major input is the signal, flat row-major output is the
+    natural-order spectrum (the phased kernel's native I/O). This is
+    the no-relayout pipeline entry (``ops.fft.fft_split_tiled``):
+    callers that keep planes tiled skip the flat<->tiled XLA copies on
+    both ends of every transform in a chained pipeline.
+
+    Batched rows use the (b, phases) grid. A lax.scan of the b=1 launch
+    measured 131.1 vs 157.9 us/row at 8x2^20 HIGHEST on pre-tiled
+    operands (r3), but the win is COMPILER-DEPENDENT: the same scan
+    program later failed to compile on this session's restarted axon
+    compile helper — XLA pins the scan-sliced pallas result into VMEM
+    (S(1)) and overflows the 16 MB scoped-vmem stack (``Scoped
+    allocation with size 16.89M and limit 16.00M``), a backend knob
+    (xla_tpu_scoped_vmem_limit_kib) that is not client-settable, and an
+    optimization_barrier workaround compiles but measures 158.9 (the
+    grid's time, win gone). Do not re-ship the scan without compiling
+    it first on the current toolchain. benchmarks/exp_batch_scan.py
+    holds the full record."""
+    b = ar.shape[0]
+    m = ar.shape[-1]
+    n = m * m
+    run = _build_phased(n, str(ar.dtype), interpret, _kernel_precision())
+    return run(b, ar, ai)
+
+
 def fused_ndfft_planes(xr, xi, inverse: bool = False,
                        interpret: bool = False):
     """All-axes N-D DFT via the fused one-call kernel (zone-gated by

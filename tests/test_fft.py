@@ -285,3 +285,41 @@ def test_fft_batch_aliases(rng):
     assert snr_db(ref, got) > 80.0
     back = kt.asnumpy(kt.ifft_batch(got.astype(np.complex64)))
     assert snr_db(xs.astype(np.complex128), back) > 80.0
+
+
+def test_fft_split_tiled_semantics(rng):
+    """Public tiled pipeline API: flat row-major order on both ends,
+    inverse roundtrip with 1/n scaling, and spectral pointwise work
+    applying directly to the tiled planes."""
+    import kofft_tpu as kt
+    m1, m2 = kt.tiled_shape(1 << 14)
+    assert m1 == m2
+    n = m1 * m1
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+         ).astype(np.complex64)
+    ar = np.ascontiguousarray(x.real).reshape(2, m1, m1)
+    ai = np.ascontiguousarray(x.imag).reshape(2, m1, m1)
+    yr, yi = kt.fft_split_tiled(ar, ai)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(2, n)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert snr_db(ref, got) > 100.0
+    # pointwise spectral mask applied in tiled layout, then inverse
+    h = rng.standard_normal(n).astype(np.float32)
+    ht = h.reshape(m1, m1)
+    br, bi = kt.ifft_split_tiled(np.asarray(yr) * ht, np.asarray(yi) * ht)
+    want = np.fft.ifft(ref * h.astype(np.float64))
+    back = (np.asarray(br) + 1j * np.asarray(bi)).reshape(2, n)
+    assert snr_db(want, back) > 100.0
+
+
+def test_fft_split_tiled_validation():
+    import kofft_tpu as kt
+    from kofft_tpu.errors import InvalidValueError, MismatchedLengthsError
+    with pytest.raises(InvalidValueError):
+        kt.tiled_shape(1 << 15)                    # odd exponent
+    with pytest.raises(InvalidValueError):
+        kt.fft_split_tiled(np.zeros((128, 64), np.float32),
+                           np.zeros((128, 64), np.float32))
+    with pytest.raises(MismatchedLengthsError):
+        kt.fft_split_tiled(np.zeros((128, 128), np.float32),
+                           np.zeros((64, 128), np.float32))

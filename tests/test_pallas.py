@@ -535,3 +535,19 @@ def test_fused_nd_parity_interpret_3d(rng):
                                 interpret=True)
     ref = np.fft.fftn(xr.astype(np.float64) + 1j * xi.astype(np.float64))
     assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+
+def test_tiled_pipeline_parity_interpret(rng):
+    """phased_tiled_fft: tiled (b, m, m) planes in/out, flat row-major
+    = 1-D order on both ends; batched rows ride the scan of the b=1
+    launch (the pre-tiled formulation exp_batch_scan.py records)."""
+    from kofft_tpu.ops.pallas_kernels import phased_tiled_fft
+    m = 128
+    n = m * m
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+         ).astype(np.complex64)
+    ar = jnp.asarray(np.ascontiguousarray(x.real).reshape(3, m, m))
+    ai = jnp.asarray(np.ascontiguousarray(x.imag).reshape(3, m, m))
+    yr, yi = phased_tiled_fft(ar, ai, interpret=True)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(3, n)
+    assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
