@@ -15,7 +15,8 @@ from .errors import (KofftError, EmptyInputError,  # noqa: F401
                      InvalidHopSizeError, InvalidValueError)
 from .ops.fft import (fft, ifft, fft_batch, ifft_batch,  # noqa: F401
                       fft_split, ifft_split, fft_split_tiled,
-                      ifft_split_tiled, tiled_shape)
+                      ifft_split_tiled, tiled_shape, fftfreq, rfftfreq,
+                      fftshift, ifftshift)
 from .ops.rfft import rfft, irfft, rfft_split, irfft_split  # noqa: F401
 from .ops.ndfft import fft2, ifft2, fft3, ifft3, fftn, ifftn  # noqa: F401
 from .ops.stft import (stft, istft, stft_split, istft_split,  # noqa: F401

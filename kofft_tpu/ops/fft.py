@@ -479,6 +479,29 @@ def ifft_split_tiled(ar, ai):
     return fft_split_tiled(ar, ai, inverse=True)
 
 
+def fftfreq(n: int, d: float = 1.0):
+    """Sample frequencies of :func:`fft` (numpy convention). Host
+    numpy output — frequency axes are metadata, not device data."""
+    require(n >= 1, EmptyInputError, "fftfreq needs n >= 1")
+    return _np.fft.fftfreq(n, d)
+
+
+def rfftfreq(n: int, d: float = 1.0):
+    """Sample frequencies of :func:`kofft_tpu.rfft` (length n//2 + 1)."""
+    require(n >= 1, EmptyInputError, "rfftfreq needs n >= 1")
+    return _np.fft.rfftfreq(n, d)
+
+
+def fftshift(x, axes=None):
+    """Move the zero-frequency bin to the center (traceable; jnp roll)."""
+    return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
+
+
+def ifftshift(x, axes=None):
+    """Inverse of :func:`fftshift` (exact also for odd lengths)."""
+    return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)
+
+
 def fft_batch(xs, backend: Optional[str] = None):
     """Batch FFT over the leading dim (reference ``fft_batch``,
     ``src/fft.rs:2156-2191``) — on TPU the batch is just leading array dims;

@@ -323,3 +323,16 @@ def test_fft_split_tiled_validation():
     with pytest.raises(MismatchedLengthsError):
         kt.fft_split_tiled(np.zeros((128, 128), np.float32),
                            np.zeros((64, 128), np.float32))
+
+
+def test_freq_and_shift_helpers():
+    import kofft_tpu as kt
+    for n in (8, 9):
+        assert np.allclose(kt.fftfreq(n, 0.5), np.fft.fftfreq(n, 0.5))
+        assert np.allclose(kt.rfftfreq(n, 2.0), np.fft.rfftfreq(n, 2.0))
+        x = np.arange(n, dtype=np.float32)
+        assert np.allclose(np.asarray(kt.fftshift(x)), np.fft.fftshift(x))
+        assert np.allclose(np.asarray(kt.ifftshift(kt.fftshift(x))), x)
+    from kofft_tpu.errors import EmptyInputError
+    with pytest.raises(EmptyInputError):
+        kt.fftfreq(0)
