@@ -111,6 +111,18 @@ def main() -> None:
                                tb * 1e9, 1.0 / tb, platform))
     log(f"8x2^20 batched: {tb * 1e3:.3f} ms = {bt * n / tb / 1e9:.2f} Gpts/s")
 
+    # tiled pipeline row: same transform on pre-tiled (m, m) planes —
+    # the no-relayout entry (fft_split_tiled); regression-tracks the
+    # relayout tax the flat row pays on eager batched calls
+    m, _ = kt.tiled_shape(n)
+    art = xrb.reshape(bt, m, m)
+    ait = xib.reshape(bt, m, m)
+    tt = timeit_chained(lambda q: kt.fft_split_tiled(q[0], q[1]),
+                        (art, ait), iters=50)
+    records.append(BenchRecord("kofft_tpu", "complex", n, "batch8_tiled",
+                               tt * 1e9, 1.0 / tt, platform))
+    log(f"8x2^20 tiled: {tt * 1e3:.3f} ms = {bt * n / tt / 1e9:.2f} Gpts/s")
+
     # batched mid-size rows: the shape class where the engine dispatches
     # to the measured-fastest backend per class (ops/fft.py:_jnp_fft_zone)
     brm = jnp.asarray(rng.standard_normal((256, 1 << 14)).astype(np.float32))
