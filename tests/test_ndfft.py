@@ -134,3 +134,35 @@ def test_fft2_fft3_rank_validation():
         ndfft.fft3(np.zeros((4, 4), dtype=np.float32))
     with pytest.raises(InvalidValueError):
         ndfft.ifft3(np.zeros((4, 4), dtype=np.float32))
+
+
+def test_fused_nd_route_and_inverse_scaling(rng, monkeypatch):
+    """The TPU-only fused-nd routing branch (forward + the inverse 1/n
+    scaling epilogue), exercised on CPU by forcing the platform gate and
+    swapping the kernel entry for its interpret form."""
+    from kofft_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(ndfft, "_platform_default", lambda: "pallas")
+    import kofft_tpu.ops.pallas_fft as PF
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.fused_ndfft_planes
+    monkeypatch.setattr(
+        PK, "fused_ndfft_planes",
+        lambda xr, xi, inverse=False: real(xr, xi, inverse, interpret=True))
+
+    shape = (512, 256)
+    xr = rng.standard_normal(shape).astype(np.float32)
+    xi = rng.standard_normal(shape).astype(np.float32)
+    try:
+        yr, yi = ndfft.fftn_split(xr, xi)
+        ref = np.fft.fftn(xr.astype(np.float64)
+                          + 1j * xi.astype(np.float64))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+        br, bi = ndfft.fftn_split(np.asarray(yr), np.asarray(yi),
+                                  inverse=True)
+        assert snr_db(xr.astype(np.float64) + 1j * xi.astype(np.float64),
+                      np.asarray(br) + 1j * np.asarray(bi)) > 100.0
+    finally:
+        # the jitted entries traced under the patched gates must not
+        # leak into other tests
+        ndfft._jit_fftn.cache_clear()
