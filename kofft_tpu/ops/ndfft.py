@@ -20,12 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import trace_key
-from ..errors import EmptyInputError, InvalidValueError, require
+from ..errors import (EmptyInputError, InvalidValueError,
+                      MismatchedLengthsError, require)
 from ._complex import merge
 from .fft import (_fft_planes, _is_tracer, _platform_default,
                   complex_io_supported, engine_fft_planes, resolve_backend)
 
-__all__ = ["fft2", "ifft2", "fft3", "ifft3", "fftn", "ifftn", "fftn_split"]
+__all__ = ["fft2", "ifft2", "fft3", "ifft3", "fftn", "ifftn",
+           "fftn_split", "rfftn", "irfftn", "rfftn_split", "irfftn_split"]
 
 
 def _nd_jnp_zone(shape: tuple, axes: tuple) -> bool:
@@ -242,6 +244,98 @@ def fft2(x, backend: Optional[str] = None):
 def ifft2(x, backend: Optional[str] = None):
     require(np.ndim(x) >= 2, InvalidValueError, "ifft2 needs >= 2 dims")
     return ifftn(x, axes=(-2, -1), backend=backend)
+
+
+def rfftn_split(x, axes: Optional[Sequence[int]] = None,
+                backend: Optional[str] = None):
+    """N-D FFT of a REAL input on SoA planes (numpy ``rfftn``
+    convention, no reference analog — TPU-native superset): real
+    one-sided FFT along the LAST of ``axes`` (length ``n//2 + 1``),
+    complex FFT over the remaining axes. Composes the verified rfft and
+    fftn engines, so each stage rides its measured-fastest path
+    (in-kernel one-sided assembly, fused N-D zone...)."""
+    from .rfft import rfft_split
+    x = jnp.asarray(x)
+    require(x.ndim >= 1 and min(x.shape) >= 1, EmptyInputError,
+            "rfftn input must be non-empty")
+    axes = _norm_axes(x.ndim, axes)
+    last = axes[-1]
+    if last != x.ndim - 1:
+        x = jnp.moveaxis(x, last, -1)
+    yr, yi = rfft_split(x, backend=backend)
+    if last != yr.ndim - 1:
+        yr = jnp.moveaxis(yr, -1, last)
+        yi = jnp.moveaxis(yi, -1, last)
+    if len(axes) > 1:
+        yr, yi = fftn_split(yr, yi, axes=axes[:-1], backend=backend)
+    return yr, yi
+
+
+def irfftn_split(yr, yi, n: Optional[int] = None,
+                 axes: Optional[Sequence[int]] = None,
+                 backend: Optional[str] = None):
+    """Inverse of :func:`rfftn_split` -> real signal. ``n`` sets the
+    LAST transformed axis's output length (default
+    ``2*(shape[axes[-1]] - 1)``, numpy convention); the other axes keep
+    their lengths."""
+    from .rfft import irfft_split
+    yr = jnp.asarray(yr)
+    yi = jnp.asarray(yi)
+    require(yr.shape == yi.shape, MismatchedLengthsError,
+            f"re/im plane shapes differ: {yr.shape} vs {yi.shape}")
+    require(yr.ndim >= 1 and min(yr.shape) >= 1, EmptyInputError,
+            "irfftn input must be non-empty")
+    axes = _norm_axes(yr.ndim, axes)
+    last = axes[-1]
+    if len(axes) > 1:
+        yr, yi = fftn_split(yr, yi, axes=axes[:-1], inverse=True,
+                            backend=backend)
+    if last != yr.ndim - 1:
+        yr = jnp.moveaxis(yr, last, -1)
+        yi = jnp.moveaxis(yi, last, -1)
+    x = irfft_split(yr, yi, n=n, backend=backend)
+    if last != x.ndim - 1:
+        x = jnp.moveaxis(x, -1, last)
+    return x
+
+
+def rfftn(x, axes: Optional[Sequence[int]] = None,
+          backend: Optional[str] = None):
+    """N-D real FFT (complex output; see :func:`rfftn_split`)."""
+    host = not isinstance(x, (jax.Array, jax.core.Tracer))
+    if host:
+        from ._complex import host_float_dtype
+        x = np.asarray(x)
+        x = np.ascontiguousarray(x).astype(host_float_dtype(x.dtype))
+    yr, yi = rfftn_split(x, axes=axes, backend=backend)
+    if _is_tracer(yr):
+        return merge(yr, yi)
+    if not complex_io_supported():
+        return np.asarray(yr) + 1j * np.asarray(yi)
+    return merge(yr, yi)
+
+
+def irfftn(y, n: Optional[int] = None,
+           axes: Optional[Sequence[int]] = None,
+           backend: Optional[str] = None):
+    """Inverse N-D real FFT from a complex spectrum (numpy ``irfftn``
+    convention for the last transformed axis's length ``n``)."""
+    host = not isinstance(y, (jax.Array, jax.core.Tracer))
+    if host:
+        from ._complex import host_float_dtype
+        y = np.asarray(y)
+        ft = host_float_dtype(y.real.dtype)
+        yr = np.ascontiguousarray(y.real).astype(ft)
+        yi = (np.ascontiguousarray(y.imag).astype(ft)
+              if np.iscomplexobj(y) else np.zeros_like(yr))
+    else:
+        y = jnp.asarray(y)
+        yr, yi = (jnp.real(y), jnp.imag(y)) if jnp.iscomplexobj(y) \
+            else (y, jnp.zeros_like(y))
+    x = irfftn_split(yr, yi, n=n, axes=axes, backend=backend)
+    if not _is_tracer(x) and not complex_io_supported():
+        return np.asarray(x)
+    return x
 
 
 def fft3(x, backend: Optional[str] = None):

@@ -166,3 +166,36 @@ def test_fused_nd_route_and_inverse_scaling(rng, monkeypatch):
         # the jitted entries traced under the patched gates must not
         # leak into other tests
         ndfft._jit_fftn.cache_clear()
+
+
+def test_rfftn_matches_numpy(rng):
+    """numpy rfftn/irfftn convention superset: one-sided last transformed
+    axis, complex FFT over the rest, roundtrip restores the signal."""
+    import kofft_tpu as kt
+    x = rng.standard_normal((6, 10, 16)).astype(np.float32)
+    got = np.asarray(kt.rfftn(x))
+    assert got.shape == (6, 10, 9)
+    assert snr_db(np.fft.rfftn(x.astype(np.float64)), got) > 100.0
+    back = np.asarray(kt.irfftn(got, n=16))
+    assert snr_db(x.astype(np.float64), back) > 100.0
+    # partial axes, non-default order
+    got2 = np.asarray(kt.rfftn(x, axes=(2, 0)))
+    ref2 = np.fft.rfftn(x.astype(np.float64), axes=(2, 0))
+    assert got2.shape == ref2.shape
+    assert snr_db(ref2, got2) > 100.0
+    back2 = np.asarray(kt.irfftn(got2, n=6, axes=(2, 0)))
+    assert snr_db(x.astype(np.float64), back2) > 100.0
+
+
+def test_rfftn_split_planes(rng):
+    import kofft_tpu as kt
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    yr, yi = kt.rfftn_split(x)
+    ref = np.fft.rfftn(x.astype(np.float64))
+    assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+    back = kt.irfftn_split(np.asarray(yr), np.asarray(yi), n=32)
+    assert snr_db(x.astype(np.float64), np.asarray(back)) > 100.0
+    from kofft_tpu.errors import MismatchedLengthsError
+    with pytest.raises(MismatchedLengthsError):
+        kt.irfftn_split(np.zeros((4, 17), np.float32),
+                        np.zeros((3, 17), np.float32))
