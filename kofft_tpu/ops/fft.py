@@ -493,13 +493,20 @@ def rfftfreq(n: int, d: float = 1.0):
 
 
 def fftshift(x, axes=None):
-    """Move the zero-frequency bin to the center (traceable; jnp roll)."""
-    return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
+    """Move the zero-frequency bin to the center. Host inputs stay on
+    host (numpy): uploading would move complex data across transports
+    that ban it (``complex_io_supported``), and a shift is pure data
+    movement anyway; jax arrays/tracers shift on device."""
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
+        return jnp.fft.fftshift(x, axes=axes)
+    return _np.fft.fftshift(_np.asarray(x), axes=axes)
 
 
 def ifftshift(x, axes=None):
     """Inverse of :func:`fftshift` (exact also for odd lengths)."""
-    return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)
+    if isinstance(x, (jax.Array, jax.core.Tracer)):
+        return jnp.fft.ifftshift(x, axes=axes)
+    return _np.fft.ifftshift(_np.asarray(x), axes=axes)
 
 
 def fft_batch(xs, backend: Optional[str] = None):

@@ -111,6 +111,17 @@ def _axis_einsum_planes(xr, xi, axes: tuple, inverse: bool, dtype: str):
     return xr, xi
 
 
+def _inverse_rescale(yr, yi, shape: tuple, axes: tuple, inverse: bool):
+    """1/n-per-axis scaling for paths whose engine returns the
+    UNNORMALIZED inverse (fused-nd, einsum)."""
+    if not inverse:
+        return yr, yi
+    scale = 1.0
+    for a in axes:
+        scale = scale * shape[a]
+    return yr / scale, yi / scale
+
+
 def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     dtype = str(xr.dtype)
     nd = xr.ndim
@@ -129,21 +140,11 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
         if (pallas_supported(1 << 14, dtype)
                 and PK.fused_nd_zone(xr.shape, axes)):
             yr, yi = PK.fused_ndfft_planes(xr, xi, inverse)
-            if inverse:
-                scale = 1.0
-                for a in axes:
-                    scale = scale * xr.shape[a]
-                yr, yi = yr / scale, yi / scale
-            return yr, yi
+            return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     if (backend in ("auto", "xla", "pallas")
             and _small_axes_zone(xr.shape, axes)):
         yr, yi = _axis_einsum_planes(xr, xi, axes, inverse, dtype)
-        if inverse:
-            scale = 1.0
-            for a in axes:
-                scale = scale * xr.shape[a]
-            yr, yi = yr / scale, yi / scale
-        return yr, yi
+        return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     for ax in axes:
         a = ax % nd
         if a != nd - 1:
@@ -306,7 +307,11 @@ def rfftn(x, axes: Optional[Sequence[int]] = None,
     if host:
         from ._complex import host_float_dtype
         x = np.asarray(x)
-        x = np.ascontiguousarray(x).astype(host_float_dtype(x.dtype))
+        # component dtype per the host_float policy (_complex.py);
+        # rfftn is real-input, so .real also drops a stray imag part
+        # the way numpy's real transforms do
+        x = np.ascontiguousarray(x.real).astype(
+            host_float_dtype(x.real.dtype))
     yr, yi = rfftn_split(x, axes=axes, backend=backend)
     if _is_tracer(yr):
         return merge(yr, yi)

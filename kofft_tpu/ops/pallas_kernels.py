@@ -1122,12 +1122,24 @@ def phased_tiled_fft(ar, ai, interpret: bool = False):
     optimization_barrier workaround compiles but measures 158.9 (the
     grid's time, win gone). Do not re-ship the scan without compiling
     it first on the current toolchain. benchmarks/exp_batch_scan.py
-    holds the full record."""
+    holds the full record.
+
+    Batched SMALL tiled shapes fold batch rows exactly like the flat
+    path (``_ml_batch_tile``; (1, n1, t) blocks are launch-bound at
+    2^14) and ride the two-call kernels — same (b, n2, n1) output
+    contract as the phased grid."""
     b = ar.shape[0]
     m = ar.shape[-1]
     n = m * m
-    run = _build_phased(n, str(ar.dtype), interpret, _kernel_precision())
-    return run(b, ar, ai)
+    bt = _ml_batch_tile(b, m, m)
+    if _use_phased(n, bt):
+        run = _build_phased(n, str(ar.dtype), interpret,
+                            _kernel_precision())
+        return run(b, ar, ai)
+    _, _, stage1, _, stage2, _ = _build_ml(n, str(ar.dtype), interpret,
+                                           _kernel_precision(), bt)
+    cr, ci = stage1(b, ar, ai)
+    return stage2(b, cr, ci)
 
 
 def fused_ndfft_planes(xr, xi, inverse: bool = False,

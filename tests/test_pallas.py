@@ -539,8 +539,9 @@ def test_fused_nd_parity_interpret_3d(rng):
 
 def test_tiled_pipeline_parity_interpret(rng):
     """phased_tiled_fft: tiled (b, m, m) planes in/out, flat row-major
-    = 1-D order on both ends; batched rows ride the scan of the b=1
-    launch (the pre-tiled formulation exp_batch_scan.py records)."""
+    = 1-D order on both ends; batched rows ride the (b, phases) grid or
+    the batch-folded two-call kernels (the lax.scan restructure is a
+    recorded negative result — exp_batch_scan.py)."""
     from kofft_tpu.ops.pallas_kernels import phased_tiled_fft
     m = 128
     n = m * m
@@ -550,4 +551,19 @@ def test_tiled_pipeline_parity_interpret(rng):
     ai = jnp.asarray(np.ascontiguousarray(x.imag).reshape(3, m, m))
     yr, yi = phased_tiled_fft(ar, ai, interpret=True)
     got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(3, n)
+    assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
+
+
+def test_tiled_batch_folded_branch_interpret(rng):
+    """b=4 at m=128 folds batch rows (bt > 1) onto the two-call kernels
+    inside phased_tiled_fft — same (b, m, m) output contract."""
+    from kofft_tpu.ops.pallas_kernels import phased_tiled_fft
+    m = 128
+    n = m * m
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+         ).astype(np.complex64)
+    ar = jnp.asarray(np.ascontiguousarray(x.real).reshape(4, m, m))
+    ai = jnp.asarray(np.ascontiguousarray(x.imag).reshape(4, m, m))
+    yr, yi = phased_tiled_fft(ar, ai, interpret=True)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(4, n)
     assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
