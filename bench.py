@@ -150,6 +150,24 @@ def main() -> None:
                                t3dj * 1e9, 1.0 / t3dj, platform))
     log(f"fft3 128^3: {t3d * 1e6:.1f} us (jnp {t3dj * 1e6:.1f} us)")
 
+    # fused N-D throughput tier (1-pass bf16, near the HBM bound)
+    from kofft_tpu.config import set_precision
+    try:
+        set_precision("default")
+        t3df = timeit_chained(lambda q: fftn_split(q[0], q[1]),
+                              (x3r, x3i))
+        yr3, yi3 = fftn_split(x3r, x3i)
+        ref3 = np.fft.fftn(np.asarray(x3r).astype(np.float64)
+                           + 1j * np.asarray(x3i).astype(np.float64))
+        s3 = float(snr_db(ref3, np.asarray(yr3) + 1j * np.asarray(yi3)))
+        records.append(BenchRecord("kofft_tpu", "fft3d", 128 ** 3,
+                                   "single_fast", t3df * 1e9, 1.0 / t3df,
+                                   platform, snr_db=s3))
+        log(f"fft3 128^3 default tier: {t3df * 1e6:.1f} us "
+            f"({s3:.1f} dB)")
+    finally:
+        set_precision(None)
+
     # ---- real FFT 2^20. Ping-pong chain (outputs rebuilt into the next
     # real input via one ~1 us concat) so the row is methodology-matched
     # with the complex row above: chained loop-carry structure changes the
