@@ -22,6 +22,17 @@ transformed, each a pow2 in [128, 512], total points in [2^17, 2^21].
 Compile cost at 128^3 is ~245 s (54 MXU loop nests traced at HIGHEST) —
 amortized by the persistent compilation cache.
 
+r3 negative result (do not retry): a SLAB kernel for beyond-VMEM 3-D
+grids — grid over axis 0, per step both trailing axes of one
+(1, 256, 256) slab via the factored in-kernel line FFT
+(_fft_axis0_traced) with .T between axes — measured 2574 us for
+axes (1, 2) of 256^3 vs 2117 for the existing per-axis engine on the
+same two axes (SNR parity). At slab granularity the in-VMEM
+lane<->sublane transposes (3 per slab) and the k=32-leaf dots on
+narrow 256-lane operands eat the saved HBM pass; the engine's big
+batched matmuls win. Beyond-VMEM grids therefore stay on the
+per-axis/jnp paths (all engines within 2% there).
+
 Run: python benchmarks/exp_nd_fused.py   (on the attached TPU)
 """
 from __future__ import annotations
