@@ -247,3 +247,41 @@ def test_large_dct_runs_without_matrix(rng):
     g0 = np.asarray(D.dct(ones, type=2))
     assert abs(g0[0] - n) < 1e-2 * n
     assert np.abs(g0[1:]).max() < 0.2   # all other bins ~0
+
+
+def test_public_alias_surface(rng):
+    """Every public alias works standalone (kind-dispatch entry points
+    are covered elsewhere; this pins the aliases users import)."""
+    import kofft_tpu as kt
+    x = rng.standard_normal(32).astype(np.float32)
+    for fn, kind in ((kt.dct1, 1), (kt.dct2, 2), (kt.dct3, 3),
+                     (kt.dct4, 4)):
+        assert snr_db(ref_dct(x, kind), np.asarray(fn(x))) > 90.0
+    for fn, kind in ((kt.dst1, 1), (kt.dst2, 2), (kt.dst3, 3),
+                     (kt.dst4, 4)):
+        assert snr_db(ref_dst(x, kind), np.asarray(fn(x))) > 90.0
+
+
+def test_istft_split_roundtrip_and_error_names(rng):
+    import kofft_tpu as kt
+    from kofft_tpu.ops import window as W
+    n, win, hop = 1 << 12, 256, 64
+    x = rng.standard_normal(n).astype(np.float32)
+    w = np.asarray(W.hann(win))
+    fr, fi = kt.stft_split(x, w, hop)
+    y = kt.istft_split(np.asarray(fr), np.asarray(fi), w, hop, length=n)
+    # interior only: the first/last window of a hann OLA is edge-tapered
+    assert snr_db(x[win:-win].astype(np.float64),
+                  np.asarray(y)[win:-win]) > 50.0
+    with pytest.raises(kt.InvalidHopSizeError):
+        kt.stft_split(x, w, 0)
+    with pytest.raises(kt.InvalidStrideError):
+        kt.fft_strided_split(np.zeros(16, np.float32),
+                             np.zeros(16, np.float32), stride=0)
+    # compilation-cache helper smoke (config flag set + idempotent)
+    import jax as _jax
+    prev = _jax.config.jax_compilation_cache_dir
+    kt.enable_compilation_cache("/tmp/kofft_cc_test")
+    assert _jax.config.jax_compilation_cache_dir == "/tmp/kofft_cc_test"
+    if prev:
+        _jax.config.update("jax_compilation_cache_dir", prev)
