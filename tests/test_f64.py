@@ -166,3 +166,29 @@ def test_sharded_transforms_f64(x64, rng):
     zr, zi = fftn_sharded(a, b, mesh=mesh, restore_layout=True)
     assert snr_db(np.fft.fftn(a + 1j * b),
                   np.asarray(zr) + 1j * np.asarray(zi)) > 250.0
+
+
+def test_rfftn_and_tiled_f64(x64, rng):
+    """The f64 tier extends to the r3 additions: rfftn (composed real +
+    complex N-D) and the tiled pipeline entries (engine fallback path
+    off-TPU)."""
+    import kofft_tpu as kt
+    x = rng.standard_normal((4, 8, 16))             # float64
+    got = np.asarray(kt.rfftn(x))
+    assert got.dtype == np.complex128
+    assert snr_db(np.fft.rfftn(x), got) > 250.0
+    back = np.asarray(kt.irfftn(got, n=16))
+    assert back.dtype == np.float64
+    assert snr_db(x, back) > 250.0
+
+    m, _ = kt.tiled_shape(1 << 14)
+    a = rng.standard_normal((m, m))
+    b = rng.standard_normal((m, m))
+    yr, yi = kt.fft_split_tiled(a, b)
+    assert np.asarray(yr).dtype == np.float64
+    ref = np.fft.fft((a + 1j * b).reshape(m * m))
+    assert snr_db(ref, (np.asarray(yr) + 1j * np.asarray(yi)
+                        ).reshape(m * m)) > 250.0
+    br, bi = kt.ifft_split_tiled(np.asarray(yr), np.asarray(yi))
+    assert snr_db(a + 1j * b,
+                  np.asarray(br) + 1j * np.asarray(bi)) > 250.0
