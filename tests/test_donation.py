@@ -80,3 +80,22 @@ def test_real_device_array_never_donated_via_fallback(rng, monkeypatch):
     y2 = kt.fft(xn)
     assert snr_db(np.fft.fft(xn.astype(np.complex128)),
                   np.asarray(y2)) > 100.0
+
+
+def test_fft_split_tiled_donate(rng):
+    """donate=True on the tiled pipeline entries consumes the input
+    plane buffers (aliased into the outputs)."""
+    import jax.numpy as jnp
+    m, _ = kt.tiled_shape(1 << 14)
+    ar = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
+    ai = jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
+    ref = np.fft.fft(np.asarray(ar).reshape(m * m)
+                     + 1j * np.asarray(ai).reshape(m * m))
+    yr, yi = kt.fft_split_tiled(ar, ai, donate=True)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(m * m)
+    from kofft_tpu.ops.dft import snr_db
+    assert snr_db(ref, got) > 90.0
+    assert ar.is_deleted() and ai.is_deleted()
+    br, bi = kt.ifft_split_tiled(yr, yi, donate=True)
+    assert yr.is_deleted() and yi.is_deleted()
+    assert np.asarray(br).shape == (m, m)
