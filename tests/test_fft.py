@@ -336,3 +336,37 @@ def test_freq_and_shift_helpers():
     from kofft_tpu.errors import EmptyInputError
     with pytest.raises(EmptyInputError):
         kt.fftfreq(0)
+
+
+def test_tiled_pallas_route_forced(rng, monkeypatch):
+    """The TPU-only tiled pallas branch (_tiled_traced -> phased_tiled_fft),
+    exercised on CPU by forcing the platform gate and swapping the kernel
+    for its interpret form."""
+    from kofft_tpu.ops import fft as F
+    from kofft_tpu.ops import pallas_kernels as PK
+    import kofft_tpu.ops.pallas_fft as PF
+    import kofft_tpu as kt
+
+    monkeypatch.setattr(F, "_platform_default", lambda: "pallas")
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.phased_tiled_fft
+    monkeypatch.setattr(
+        F, "phased_tiled_fft",
+        lambda ar, ai: real(ar, ai, interpret=True), raising=False)
+    monkeypatch.setattr(
+        PK, "phased_tiled_fft",
+        lambda ar, ai: real(ar, ai, interpret=True))
+    m, _ = kt.tiled_shape(1 << 14)
+    x = (rng.standard_normal((2, m * m))
+         + 1j * rng.standard_normal((2, m * m))).astype(np.complex64)
+    ar = np.ascontiguousarray(x.real).reshape(2, m, m)
+    ai = np.ascontiguousarray(x.imag).reshape(2, m, m)
+    try:
+        yr, yi = kt.fft_split_tiled(ar, ai)
+        got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(2, m * m)
+        assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
+        br, bi = kt.ifft_split_tiled(np.asarray(yr), np.asarray(yi))
+        back = (np.asarray(br) + 1j * np.asarray(bi)).reshape(2, m * m)
+        assert snr_db(x.astype(np.complex128), back) > 100.0
+    finally:
+        F._jitted_tiled.cache_clear()
