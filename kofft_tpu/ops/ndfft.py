@@ -260,6 +260,8 @@ def rfftn_split(x, axes: Optional[Sequence[int]] = None,
     require(x.ndim >= 1 and min(x.shape) >= 1, EmptyInputError,
             "rfftn input must be non-empty")
     axes = _norm_axes(x.ndim, axes)
+    require(len(axes) >= 1, InvalidValueError,
+            "rfftn needs at least one axis (numpy raises here too)")
     last = axes[-1]
     if last != x.ndim - 1:
         x = jnp.moveaxis(x, last, -1)
@@ -287,6 +289,8 @@ def irfftn_split(yr, yi, n: Optional[int] = None,
     require(yr.ndim >= 1 and min(yr.shape) >= 1, EmptyInputError,
             "irfftn input must be non-empty")
     axes = _norm_axes(yr.ndim, axes)
+    require(len(axes) >= 1, InvalidValueError,
+            "irfftn needs at least one axis")
     last = axes[-1]
     if len(axes) > 1:
         yr, yi = fftn_split(yr, yi, axes=axes[:-1], inverse=True,

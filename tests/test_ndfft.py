@@ -199,3 +199,12 @@ def test_rfftn_split_planes(rng):
     with pytest.raises(MismatchedLengthsError):
         kt.irfftn_split(np.zeros((4, 17), np.float32),
                         np.zeros((3, 17), np.float32))
+
+
+def test_rfftn_empty_axes_typed_error():
+    import kofft_tpu as kt
+    from kofft_tpu.errors import InvalidValueError
+    with pytest.raises(InvalidValueError):
+        kt.rfftn(np.zeros((4, 4), np.float32), axes=())
+    with pytest.raises(InvalidValueError):
+        kt.irfftn(np.zeros((4, 3), np.complex64), axes=())
