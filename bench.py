@@ -168,6 +168,32 @@ def main() -> None:
     finally:
         set_precision(None)
 
+    # 2-D image FFT (the phased 2-D kernel zone: one HBM round-trip,
+    # no twiddle — benchmarks/exp_2d.py holds the shape sweep)
+    x2r = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    x2i = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    t2d = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x2r, x2i))
+    records.append(BenchRecord("kofft_tpu", "fft2d", 1024 ** 2, "single",
+                               t2d * 1e9, 1.0 / t2d, platform))
+    t2dj = timeit_chained(jfftn, (x2r, x2i))
+    records.append(BenchRecord("jnpfft", "fft2d", 1024 ** 2, "single",
+                               t2dj * 1e9, 1.0 / t2dj, platform))
+    ref2 = np.fft.fftn(np.asarray(x2r).astype(np.float64)
+                       + 1j * np.asarray(x2i).astype(np.float64))
+    try:
+        set_precision("default")
+        t2df = timeit_chained(lambda q: fftn_split(q[0], q[1]),
+                              (x2r, x2i))
+        yr2, yi2 = fftn_split(x2r, x2i)
+        s2 = float(snr_db(ref2, np.asarray(yr2) + 1j * np.asarray(yi2)))
+        records.append(BenchRecord("kofft_tpu", "fft2d", 1024 ** 2,
+                                   "single_fast", t2df * 1e9, 1.0 / t2df,
+                                   platform, snr_db=s2))
+    finally:
+        set_precision(None)
+    log(f"fft2 1024^2: {t2d * 1e6:.1f} us (jnp {t2dj * 1e6:.1f} us); "
+        f"default tier {t2df * 1e6:.1f} us ({s2:.1f} dB)")
+
     # ---- real FFT 2^20. Ping-pong chain (outputs rebuilt into the next
     # real input via one ~1 us concat) so the row is methodology-matched
     # with the complex row above: chained loop-carry structure changes the

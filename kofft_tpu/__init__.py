@@ -19,7 +19,8 @@ from .ops.fft import (fft, ifft, fft_batch, ifft_batch,  # noqa: F401
                       fftshift, ifftshift)
 from .ops.rfft import rfft, irfft, rfft_split, irfft_split  # noqa: F401
 from .ops.ndfft import (fft2, ifft2, fft3, ifft3, fftn,  # noqa: F401
-                        ifftn, rfftn, irfftn, rfftn_split, irfftn_split)
+                        ifftn, fftn_split, rfftn, irfftn, rfftn_split,
+                        irfftn_split)
 from .ops.stft import (stft, istft, stft_split, istft_split,  # noqa: F401
                        StftStream, StftPushStream, IstftStream,
                        istft_stream_scan, stft_stream_scan)

@@ -125,6 +125,16 @@ def _inverse_rescale(yr, yi, shape: tuple, axes: tuple, inverse: bool):
 def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     dtype = str(xr.dtype)
     nd = xr.ndim
+    if (backend in ("auto", "pallas")
+            and _platform_default() == "pallas" and dtype == "float32"):
+        from . import pallas_kernels as PK
+        from .pallas_fft import pallas_supported
+        # checked BEFORE the jnp zone: 1024^2/1024x2048 grids sit in
+        # both, and the one-pass 2-D kernel is the measured winner there
+        if (pallas_supported(1 << 14, dtype)
+                and PK.fused_2d_zone(xr.shape, axes)):
+            yr, yi = PK.fused_fft2_planes(xr, xi, inverse)
+            return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     if (backend == "auto" and _platform_default() == "pallas"
             and _nd_jnp_zone(xr.shape, axes)):
         x = merge(xr, xi)

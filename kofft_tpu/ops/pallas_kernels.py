@@ -1153,3 +1153,156 @@ def fused_ndfft_planes(xr, xi, inverse: bool = False,
         yr, yi = run(xr, -xi)
         return yr, -yi
     return run(xr, xi)
+
+
+_FUSED_2D_MIN_POINTS = 1 << 18     # below: einsum/per-axis launch-bound
+_FUSED_2D_MAX_POINTS = 1 << 21     # scratch = 2 planes x total x 4 B
+
+
+def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
+    """True when the phased 2-D kernel serves this transform: the LAST
+    TWO dims transformed (leading dims fold into the kernel's batch
+    grid), both pow2 in [128, 2048], total per image in
+    [2^18, 2^21]. A bare unbatched shape already inside
+    ``fused_nd_zone`` (dims <= 512) keeps the measured dense route.
+    The upper cap is PER-TIER (measured v5e 1024x2048): at ``highest``
+    the 6-pass kernel loses to XLA's fftn at 2^21 (332 vs 320 us) so
+    the cap drops to 2^20 there; the 1-pass tiers keep 2^21 (152 vs
+    320 us, 2.1x). Tier changes retrace safely — every jitted entry
+    keys on ``config.trace_key()``, which carries the precision."""
+    nd = len(shape)
+    if nd < 2 or len(axes) != 2:
+        return False
+    if sorted(a % nd for a in axes) != [nd - 2, nd - 1]:
+        return False
+    n1, n2 = shape[-2], shape[-1]
+    for s in (n1, n2):
+        if s & (s - 1) or not (128 <= s <= 2048):
+            return False
+    cap = (1 << 20) if _kernel_precision() == "highest" \
+        else _FUSED_2D_MAX_POINTS
+    if not (_FUSED_2D_MIN_POINTS <= n1 * n2 <= cap):
+        return False
+    return not (nd == 2 and fused_nd_zone(shape, axes))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fft2(n1: int, n2: int, dtype: str = "float32",
+                interpret: bool = False, mode: str = "highest"):
+    """One-call 2-D FFT kernel: the phased four-step WITHOUT the
+    inter-stage twiddle. A 2-D transform of an (n1, n2) image is
+    exactly the two stages of the Bailey 1-D decomposition of
+    n = n1*n2 minus the twiddle between them, so the grid, scratch
+    choreography and per-line recursion are those of ``_build_phased``;
+    what changes is (a) no twiddle tables enter the kernel and (b)
+    stage 2 emits its line blocks UNtransposed — the (b, n1, n2) output
+    is the natural image layout, not the 1-D spectrum's (b, n2, n1).
+    There is no flat<->tiled relayout on either side: the image IS the
+    kernel's native layout (the reference reaches 2-D by strided 1-D
+    line loops, /root/reference/src/ndfft.rs:74-100; one HBM round-trip
+    replaces its per-axis passes). Returns run(b, ar, ai) -> (yr, yi)
+    on (b, n1, n2) planes, forward unnormalized."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = _ML_TILE                       # divides both pow2 dims >= 128
+    ph1 = n2 // t                      # stage-1 column tiles
+    ph2 = n1 // t                      # stage-2 line tiles
+    keys1 = _ml_const_keys(n1)
+    keys2 = _ml_const_keys(n2)
+    consts1 = _ml_const_arrays(keys1, dtype)
+    consts2 = _ml_const_arrays(keys2, dtype)
+    nc1 = len(consts1)
+
+    def unpack(keys, refs):
+        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
+                for i, k in enumerate(keys)}
+
+    def kern(*refs):
+        (ar, ai), rest = refs[:2], refs[2:]
+        crefs = rest[:nc1 + len(consts2)]
+        out_r, out_i, scr_r, scr_i = rest[nc1 + len(consts2):]
+        cd1 = unpack(keys1, crefs[:nc1])
+        cd2 = unpack(keys2, crefs[nc1:])
+        i = pl.program_id(1)
+
+        @pl.when(i < ph1)
+        def _stage1():
+            # column tile i: FFT each length-n1 column, stash (no
+            # twiddle — this is the whole 2-D-vs-1-D difference)
+            yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd1, mode)
+            scr_r[i] = yr
+            scr_i[i] = yi
+
+        @pl.when(i >= ph1)
+        def _stage2():
+            j = i - ph1
+            # line block (t, n2): rows [j*t, j*t+t) of the stage-1
+            # result = that row range of every scratch chunk
+            br = jnp.concatenate(
+                [scr_r[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
+            bi = jnp.concatenate(
+                [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
+            zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
+            out_r[0] = zr.T            # (t, n2): rows k1, lanes k2 —
+            out_i[0] = zi.T            # natural 2-D order, no transpose
+
+    def const_specs(arrs):
+        return [pl.BlockSpec(a.shape,
+                             (lambda nd: lambda b_, i: (0,) * nd)(a.ndim),
+                             memory_space=pltpu.VMEM) for a in arrs]
+
+    data_in = pl.BlockSpec((1, n1, t),
+                           lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
+                           memory_space=pltpu.VMEM)
+    # stage-2 step j writes row block j; stage-1 steps revisit block 0
+    # unwritten (same flushed-once-written pattern as _build_phased)
+    data_out = pl.BlockSpec(
+        (1, t, n2), lambda b_, i: (b_, jnp.maximum(i - ph1, 0), 0),
+        memory_space=pltpu.VMEM)
+
+    def run(b, ar, ai):
+        shapes = [jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2
+        return pl.pallas_call(
+            kern, grid=(b, ph1 + ph2),
+            in_specs=[data_in, data_in]
+            + const_specs(consts1) + const_specs(consts2),
+            out_specs=[data_out, data_out],
+            out_shape=shapes,
+            scratch_shapes=[pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2,
+            cost_estimate=pl.CostEstimate(
+                flops=32 * b * n1 * n2
+                * max(1, (n1 * n2).bit_length() // 5),
+                bytes_accessed=4 * 2 * b * n1 * n2 * 2,
+                transcendentals=0),
+            **({} if interpret else {"compiler_params":
+                pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)}),
+            interpret=interpret,
+        )(ar, ai, *[jnp.asarray(c) for c in consts1],
+          *[jnp.asarray(c) for c in consts2])
+
+    return run
+
+
+def fused_fft2_planes(xr, xi, inverse: bool = False,
+                      interpret: bool = False):
+    """2-D DFT over the last two dims via the phased 2-D kernel
+    (zone-gated by ``fused_2d_zone``); leading dims fold into the batch
+    grid. Inverse is UNNORMALIZED (caller scales), via the conjugation
+    identity."""
+    shape = xr.shape
+    n1, n2 = shape[-2], shape[-1]
+    b = 1
+    for s in shape[:-2]:
+        b *= s
+    ar = xr.reshape(b, n1, n2)
+    ai = xi.reshape(b, n1, n2)
+    run = _build_fft2(n1, n2, str(xr.dtype), interpret,
+                      _kernel_precision())
+    if inverse:
+        yr, yi = run(b, ar, -ai)
+        yi = -yi
+    else:
+        yr, yi = run(b, ar, ai)
+    return yr.reshape(shape), yi.reshape(shape)
