@@ -19,6 +19,11 @@ four-step minus the inter-stage twiddle, natural-layout I/O). AFTER
              2^21 on the 1-pass tiers.
   8x512^2:   282.8 vs 467.4 (1.65x), fast 131.1 (3.6x) — batched grid.
 
+Head-to-head vs the dense fused-nd kernel where both serve (r3): the
+leaf-32 recursion wins everywhere — 512^2: 33.8 vs 51.0 us; 256x1024:
+34.2 vs 76.4 — so fused_2d_zone owns ALL 2-D shapes in its range and
+dense fused-nd remains the 3-D engine.
+
 Run: python benchmarks/exp_2d.py
 """
 

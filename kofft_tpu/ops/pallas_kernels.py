@@ -1163,13 +1163,15 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
     """True when the phased 2-D kernel serves this transform: the LAST
     TWO dims transformed (leading dims fold into the kernel's batch
     grid), both pow2 in [128, 2048], total per image in
-    [2^18, 2^21]. A bare unbatched shape already inside
-    ``fused_nd_zone`` (dims <= 512) keeps the measured dense route.
-    The upper cap is PER-TIER (measured v5e 1024x2048): at ``highest``
-    the 6-pass kernel loses to XLA's fftn at 2^21 (332 vs 320 us) so
-    the cap drops to 2^20 there; the 1-pass tiers keep 2^21 (152 vs
-    320 us, 2.1x). Tier changes retrace safely — every jitted entry
-    keys on ``config.trace_key()``, which carries the precision."""
+    [2^18, 2^21]. It owns the whole 2-D range — the leaf-32 recursion
+    beats the dense-DFT fused-nd kernel even where both serve (512^2:
+    33.8 vs 51.0 us; 256x1024: 34.2 vs 76.4; dense stays the 3-D
+    engine). The upper cap is PER-TIER (measured v5e 1024x2048): at
+    ``highest`` the 6-pass kernel loses to XLA's fftn at 2^21 (332 vs
+    320 us) so the cap drops to 2^20 there; the 1-pass tiers keep 2^21
+    (152 vs 320 us, 2.1x). Tier changes retrace safely — every jitted
+    entry keys on ``config.trace_key()``, which carries the
+    precision."""
     nd = len(shape)
     if nd < 2 or len(axes) != 2:
         return False
@@ -1181,9 +1183,7 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
             return False
     cap = (1 << 20) if _kernel_precision() == "highest" \
         else _FUSED_2D_MAX_POINTS
-    if not (_FUSED_2D_MIN_POINTS <= n1 * n2 <= cap):
-        return False
-    return not (nd == 2 and fused_nd_zone(shape, axes))
+    return _FUSED_2D_MIN_POINTS <= n1 * n2 <= cap
 
 
 @functools.lru_cache(maxsize=None)

@@ -219,6 +219,8 @@ def test_fused_2d_zone_logic():
     assert zone((1024, 1024), (-2, -1))
     assert zone((512, 1024), (0, 1))
     assert zone((8, 512, 512), (1, 2))       # batched: phased grid
+    assert zone((512, 512), (0, 1))          # beats dense fused-nd 1.5x
+    assert zone((256, 1024), (0, 1))
     # 2^21/image: served by the 1-pass tiers, not by 6-pass highest
     # (measured v5e: 332 us vs XLA fftn 320 at highest; 152 at default)
     from kofft_tpu.config import set_precision
@@ -228,7 +230,6 @@ def test_fused_2d_zone_logic():
         assert zone((1024, 2048), (0, 1))
     finally:
         set_precision(None)
-    assert not zone((512, 512), (0, 1))      # unbatched: dense zone keeps it
     assert not zone((2048, 2048), (0, 1))    # 2^22 > scratch/perf cap
     assert not zone((1024, 256), (0,))       # one axis
     assert not zone((1024, 1000), (0, 1))    # non-pow2
