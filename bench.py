@@ -194,6 +194,29 @@ def main() -> None:
     log(f"fft2 1024^2: {t2d * 1e6:.1f} us (jnp {t2dj * 1e6:.1f} us); "
         f"default tier {t2df * 1e6:.1f} us ({s2:.1f} dB)")
 
+    # 2048^2 rides the phased 2-D kernel only on the HBM-bound 1-pass
+    # tier (the 6-pass tiers lose to XLA fftn above 2^20/image)
+    x2r = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
+    x2i = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
+    try:
+        set_precision("default")
+        t4f = timeit_chained(lambda q: fftn_split(q[0], q[1]),
+                             (x2r, x2i), iters=100)
+        yr4, yi4 = fftn_split(x2r, x2i)
+        ref4 = np.fft.fftn(np.asarray(x2r).astype(np.float64)
+                           + 1j * np.asarray(x2i).astype(np.float64))
+        s4 = float(snr_db(ref4, np.asarray(yr4) + 1j * np.asarray(yi4)))
+        records.append(BenchRecord("kofft_tpu", "fft2d", 2048 ** 2,
+                                   "single_fast", t4f * 1e9, 1.0 / t4f,
+                                   platform, snr_db=s4))
+    finally:
+        set_precision(None)
+    t4j = timeit_chained(jfftn, (x2r, x2i), iters=100)
+    records.append(BenchRecord("jnpfft", "fft2d", 2048 ** 2, "single",
+                               t4j * 1e9, 1.0 / t4j, platform))
+    log(f"fft2 2048^2 default tier: {t4f * 1e6:.1f} us ({s4:.1f} dB; "
+        f"jnp {t4j * 1e6:.1f} us)")
+
     # ---- real FFT 2^20. Ping-pong chain (outputs rebuilt into the next
     # real input via one ~1 us concat) so the row is methodology-matched
     # with the complex row above: chained loop-carry structure changes the

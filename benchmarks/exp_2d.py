@@ -24,6 +24,10 @@ leaf-32 recursion wins everywhere — 512^2: 33.8 vs 51.0 us; 256x1024:
 34.2 vs 76.4 — so fused_2d_zone owns ALL 2-D shapes in its range and
 dense fused-nd remains the 3-D engine.
 
+2048^2 (2^22/image, 32 MB kernel scratch) on the 1-pass default tier:
+396.6 us vs jnp 651.7 (1.64x, 43.9 dB) — so the default-tier cap is
+2^22 while the 6-pass tiers stop at 2^20.
+
 Run: python benchmarks/exp_2d.py
 """
 

@@ -1156,7 +1156,7 @@ def fused_ndfft_planes(xr, xi, inverse: bool = False,
 
 
 _FUSED_2D_MIN_POINTS = 1 << 18     # below: einsum/per-axis launch-bound
-_FUSED_2D_MAX_POINTS = 1 << 21     # scratch = 2 planes x total x 4 B
+_FUSED_2D_MAX_POINTS = 1 << 22     # scratch = 2 planes x total x 4 B
 
 
 def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
@@ -1166,12 +1166,14 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
     [2^18, 2^21]. It owns the whole 2-D range — the leaf-32 recursion
     beats the dense-DFT fused-nd kernel even where both serve (512^2:
     33.8 vs 51.0 us; 256x1024: 34.2 vs 76.4; dense stays the 3-D
-    engine). The upper cap is PER-TIER (measured v5e 1024x2048): at
-    ``highest`` the 6-pass kernel loses to XLA's fftn at 2^21 (332 vs
-    320 us) so the cap drops to 2^20 there; the 1-pass tiers keep 2^21
-    (152 vs 320 us, 2.1x). Tier changes retrace safely — every jitted
-    entry keys on ``config.trace_key()``, which carries the
-    precision."""
+    engine). The upper cap is PER-TIER (measured v5e): the 6-pass
+    ``highest`` kernel loses to XLA's fftn at 2^21/image (1024x2048:
+    332 vs 320 us) so it caps at 2^20 — and ``high`` costs the same 6
+    passes (r2 isolation: bf16x3 gains nothing), so it caps with it.
+    The 1-pass ``default`` tier is HBM-bound and keeps winning through
+    2^22 (1024x2048: 152 vs 320, 2.1x; 2048^2: 396.6 vs 651.7, 1.64x).
+    Tier changes retrace safely — every jitted entry keys on
+    ``config.trace_key()``, which carries the precision."""
     nd = len(shape)
     if nd < 2 or len(axes) != 2:
         return False
@@ -1181,8 +1183,8 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
     for s in (n1, n2):
         if s & (s - 1) or not (128 <= s <= 2048):
             return False
-    cap = (1 << 20) if _kernel_precision() == "highest" \
-        else _FUSED_2D_MAX_POINTS
+    cap = _FUSED_2D_MAX_POINTS if _kernel_precision() == "default" \
+        else (1 << 20)
     return _FUSED_2D_MIN_POINTS <= n1 * n2 <= cap
 
 

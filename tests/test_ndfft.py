@@ -212,8 +212,8 @@ def test_rfftn_empty_axes_typed_error():
 
 def test_fused_2d_zone_logic():
     """Zone map for the phased 2-D kernel: last two dims transformed,
-    pow2 dims in [128, 2048], 2^18..2^21 points per image; unbatched
-    dense-zone shapes stay dense."""
+    pow2 dims in [128, 2048], per-tier point caps (2^20 on the 6-pass
+    tiers, 2^22 on the 1-pass default tier)."""
     from kofft_tpu.ops.pallas_kernels import fused_2d_zone as zone
     assert zone((1024, 1024), (0, 1))
     assert zone((1024, 1024), (-2, -1))
@@ -221,16 +221,21 @@ def test_fused_2d_zone_logic():
     assert zone((8, 512, 512), (1, 2))       # batched: phased grid
     assert zone((512, 512), (0, 1))          # beats dense fused-nd 1.5x
     assert zone((256, 1024), (0, 1))
-    # 2^21/image: served by the 1-pass tiers, not by 6-pass highest
-    # (measured v5e: 332 us vs XLA fftn 320 at highest; 152 at default)
+    # 2^21-2^22/image: served by the 1-pass default tier only — the
+    # 6-pass tiers lose to XLA fftn there (1024x2048: 332 vs 320 us at
+    # highest; default 152 vs 320, and 2048^2 396.6 vs 651.7)
     from kofft_tpu.config import set_precision
     assert not zone((1024, 2048), (0, 1))
+    assert not zone((2048, 2048), (0, 1))
     try:
         set_precision("default")
         assert zone((1024, 2048), (0, 1))
+        assert zone((2048, 2048), (0, 1))
+        assert not zone((2048, 4096), (0, 1))   # above the scratch cap
+        set_precision("high")                   # costs like highest
+        assert not zone((1024, 2048), (0, 1))
     finally:
         set_precision(None)
-    assert not zone((2048, 2048), (0, 1))    # 2^22 > scratch/perf cap
     assert not zone((1024, 256), (0,))       # one axis
     assert not zone((1024, 1000), (0, 1))    # non-pow2
     assert not zone((64, 4096), (0, 1))      # dim below 128
