@@ -15,8 +15,9 @@ four-step minus the inter-stage twiddle, natural-layout I/O). AFTER
   1024^2:    134.4 us vs jnp 152.2 (1.13x), fast tier 60.6 (2.5x), 135 dB
   512x1024:   66.4 vs  98.4 (1.5x),  fast 29.4 (3.3x)
   1024x2048: 332.1 vs 319.5 — LOSES at highest (6-pass), fast 152.3
-             (2.1x) => the zone cap is per-tier: 2^20 at highest,
-             2^21 on the 1-pass tiers.
+             (2.1x) => the zone cap is per-tier: 2^20 on the 6-pass
+             tiers (highest/high), 2^22 on the 1-pass default tier
+             (see the 2048^2 paragraph below).
   8x512^2:   282.8 vs 467.4 (1.65x), fast 131.1 (3.6x) — batched grid.
 
 Head-to-head vs the dense fused-nd kernel where both serve (r3): the

@@ -128,30 +128,27 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     if (backend in ("auto", "pallas")
             and _platform_default() == "pallas" and dtype == "float32"):
         from . import pallas_kernels as PK
-        from .pallas_fft import pallas_supported
-        # checked BEFORE the jnp zone (1024^2 sits in both; the 2-D
-        # kernel wins 134 vs 152 us) and BEFORE the dense fused-nd zone
-        # (512^2 sits in both; leaf-32 recursion wins 33.8 vs 51.0)
-        if (pallas_supported(1 << 14, dtype)
-                and PK.fused_2d_zone(xr.shape, axes)):
-            yr, yi = PK.fused_fft2_planes(xr, xi, inverse)
-            return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
+        from .pallas_fft import pallas_fft2_planes, pallas_supported
+        # the env kill-switch and TPU gate ride pallas_supported's
+        # smallest served size; the shape gates are the fused zones.
+        # The 2-D zone is checked BEFORE the jnp zone below (1024^2
+        # sits in both; the 2-D kernel wins 134 vs 152 us) and BEFORE
+        # the dense fused-nd zone (512^2 sits in both; the leaf-32
+        # recursion wins 33.8 vs 51.0) — the two zones are disjoint
+        # only by this ordering, not by construction
+        if pallas_supported(1 << 14, dtype):
+            if PK.fused_2d_zone(xr.shape, axes):
+                yr, yi = pallas_fft2_planes(xr, xi, inverse)
+                return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
+            if PK.fused_nd_zone(xr.shape, axes):
+                yr, yi = PK.fused_ndfft_planes(xr, xi, inverse)
+                return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     if (backend == "auto" and _platform_default() == "pallas"
             and _nd_jnp_zone(xr.shape, axes)):
         x = merge(xr, xi)
         y = (jnp.fft.ifftn(x, axes=axes) if inverse
              else jnp.fft.fftn(x, axes=axes))
         return jnp.real(y), jnp.imag(y)
-    if (backend in ("auto", "pallas")
-            and _platform_default() == "pallas" and dtype == "float32"):
-        from . import pallas_kernels as PK
-        from .pallas_fft import pallas_supported
-        # the env kill-switch and TPU gate ride pallas_supported's
-        # smallest served size; the shape gate is the fused-nd zone
-        if (pallas_supported(1 << 14, dtype)
-                and PK.fused_nd_zone(xr.shape, axes)):
-            yr, yi = PK.fused_ndfft_planes(xr, xi, inverse)
-            return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     if (backend in ("auto", "xla", "pallas")
             and _small_axes_zone(xr.shape, axes)):
         yr, yi = _axis_einsum_planes(xr, xi, axes, inverse, dtype)

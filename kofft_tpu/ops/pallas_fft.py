@@ -192,3 +192,67 @@ def pallas_rfft_planes(x, n: int):
     plane in, half-spectrum planes out of the fused kernels — no
     full-spectrum HBM materialization. Linear primitive: jvp/grad/vmap."""
     return _rdft_p.bind(x, n=n)
+
+
+_dft2_p = _jex.core.Primitive("kofft_pallas_dft2")
+_dft2_p.multiple_results = True
+
+
+def _dft2_eval(xr, xi, *, inverse):
+    from .pallas_kernels import fused_fft2_planes
+    return fused_fft2_planes(xr, xi, inverse)
+
+
+_dft2_p.def_impl(_dft2_eval)
+_dft2_p.def_abstract_eval(
+    lambda xr, xi, *, inverse: (xr.update(), xi.update()))
+_mlir.register_lowering(_dft2_p,
+                        _mlir.lower_fun(_dft2_eval, multiple_results=True))
+
+
+def _dft2_jvp(primals, tangents, *, inverse):
+    out = _dft2_p.bind(*primals, inverse=inverse)
+    tr = _inst(tangents[0], primals[0])
+    ti = _inst(tangents[1], primals[1])
+    return out, _dft2_p.bind(tr, ti, inverse=inverse)
+
+
+_ad.primitive_jvps[_dft2_p] = _dft2_jvp
+
+
+def _dft2_transpose(ct, xr, xi, *, inverse):
+    # per-axis DFT matrices are symmetric, so the real-linear transpose
+    # of the forward planes map is the unnormalized inverse (and vice
+    # versa) — same argument as _dft_transpose, applied per axis
+    like = xr.aval if _ad.is_undefined_primal(xr) else xr
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    return _dft2_p.bind(ctr, cti, inverse=not inverse)
+
+
+_ad.primitive_transposes[_dft2_p] = _dft2_transpose
+
+
+def _dft2_batch(args, dims, *, inverse):
+    # the kernel folds ALL leading dims into its batch grid, so vmap is
+    # just "move the mapped axis to the front" (mirrors _dft_batch)
+    moved = [a if d is _batching.not_mapped else _jnp.moveaxis(a, d, 0)
+             for a, d in zip(args, dims)]
+    bdim = next(a.shape[0] for a, d in zip(moved, dims)
+                if d is not _batching.not_mapped)
+    moved = [a if d is not _batching.not_mapped
+             else _jnp.broadcast_to(a, (bdim, *a.shape))
+             for a, d in zip(moved, dims)]
+    outs = _dft2_p.bind(*moved, inverse=inverse)
+    return outs, (0, 0)
+
+
+_batching.primitive_batchers[_dft2_p] = _dft2_batch
+
+
+def pallas_fft2_planes(xr, xi, inverse: bool = False):
+    """Unnormalized 2-D DFT over the last two dims via the phased 2-D
+    kernel (``pallas_kernels.fused_fft2_planes``), as a linear primitive
+    (jvp/grad/vmap supported — the routes this kernel displaced were all
+    differentiable, so the 2-D zone must stay differentiable too)."""
+    return _dft2_p.bind(xr, xi, inverse=bool(inverse))

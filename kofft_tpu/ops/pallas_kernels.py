@@ -369,6 +369,24 @@ def _fft_axis0_traced(xr, xi, m: int, consts: dict, mode: str = "highest"):
     return zr.reshape(m, t), zi.reshape(m, t)
 
 
+def _unpack_consts(keys, refs):
+    """Kernel-side: rebuild the {key: (re, im)} table dict from the
+    flattened constant-operand ref list (two planes per key)."""
+    return {k: (refs[2 * i][...], refs[2 * i + 1][...])
+            for i, k in enumerate(keys)}
+
+
+def _const_vmem_specs(arrs):
+    """Whole-array VMEM BlockSpecs for kernel constant operands (DFT and
+    twiddle tables), pinned to block 0 at every grid step (the *_ index
+    map accepts any grid arity)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    return [pl.BlockSpec(a.shape,
+                         (lambda nd: lambda *_: (0,) * nd)(a.ndim),
+                         memory_space=pltpu.VMEM) for a in arrs]
+
+
 def _ml_batch_tile(b: int, n1: int, n2: int) -> int:
     """Batch rows folded into each grid block. For small transforms the
     natural (1, n1, t) block is tiny (64 KB at n=2^14) and the grid
@@ -440,10 +458,6 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
     consts1 = _ml_const_arrays(keys1, dtype)
     consts2 = _ml_const_arrays(keys2, dtype)
 
-    def unpack(keys, refs):
-        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
-                for i, k in enumerate(keys)}
-
     def line_fft_cols(xr, xi, m, cd):
         # (bt, m, tc) -> FFT along axis 1 for every (batch, col). The
         # batch rows merge into the column dim via a *leading-dim*
@@ -477,7 +491,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 
     def s1_kernel(ar, ai, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
-        cd = unpack(keys1, const_refs)
+        cd = _unpack_consts(keys1, const_refs)
         # block (bt, n1, t): FFT each column (length n1), then twiddle
         yr, yi = line_fft_cols(ar[...], ai[...], n1, cd)
         w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
@@ -489,7 +503,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
     def s1r_kernel(ar, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         # real-input stage 1 (rfft): no imag plane crosses HBM
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
-        cd = unpack(keys1, const_refs)
+        cd = _unpack_consts(keys1, const_refs)
         yr, yi = line_fft_cols(ar[...], None, n1, cd)
         w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
         w_r = w_r[None]
@@ -499,7 +513,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 
     def s2_kernel(cr, ci, *crefs):
         const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
-        cd = unpack(keys2, const_refs)
+        cd = _unpack_consts(keys2, const_refs)
         # block (bt, t, n2): FFT each row -> emit transposed (bt, n2, t)
         br = jnp.transpose(cr[...], (2, 0, 1)).reshape(n2, bt * t)
         bi = jnp.transpose(ci[...], (2, 0, 1)).reshape(n2, bt * t)
@@ -513,18 +527,13 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         # is a cheap XLA epilogue over C's k1 = 0 row. Halves the write
         # traffic vs writing the full spectrum and slicing in XLA.
         const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
-        cd = unpack(keys2, const_refs)
+        cd = _unpack_consts(keys2, const_refs)
         h = n2 // 2
         br = jnp.transpose(cr[...], (2, 0, 1)).reshape(n2, bt * t)
         bi = jnp.transpose(ci[...], (2, 0, 1)).reshape(n2, bt * t)
         yr, yi = _fft_axis0_traced(br, bi, n2, cd, mode)
         xr_o[...] = jnp.swapaxes(yr[:h].reshape(h, bt, t), 0, 1)
         xi_o[...] = jnp.swapaxes(yi[:h].reshape(h, bt, t), 0, 1)
-
-    def const_specs(arrs):
-        return [pl.BlockSpec(a.shape,
-                             (lambda nd: lambda i, j: (0,) * nd)(a.ndim),
-                             memory_space=pltpu.VMEM) for a in arrs]
 
     kw = _ml_compiler_kwargs(interpret, n1, t, bt)
 
@@ -548,7 +557,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s1_kernel, grid=grid,
-            in_specs=[data, data] + _tw_specs() + const_specs(consts1),
+            in_specs=[data, data] + _tw_specs() + _const_vmem_specs(consts1),
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
@@ -565,7 +574,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                             memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s1r_kernel, grid=grid,
-            in_specs=[data] + _tw_specs() + const_specs(consts1),
+            in_specs=[data] + _tw_specs() + _const_vmem_specs(consts1),
             out_specs=[data, data],
             out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
@@ -584,7 +593,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s2_kernel, grid=grid,
-            in_specs=[data_in, data_in] + const_specs(consts2),
+            in_specs=[data_in, data_in] + _const_vmem_specs(consts2),
             out_specs=[data_out, data_out],
             out_shape=[jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
@@ -603,7 +612,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
             s2h_kernel, grid=grid,
-            in_specs=[data_in, data_in] + const_specs(consts2),
+            in_specs=[data_in, data_in] + _const_vmem_specs(consts2),
             out_specs=[data_out, data_out],
             out_shape=[jax.ShapeDtypeStruct((b, h, n1), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
@@ -704,10 +713,6 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     nc1 = len(consts1)
     ebr, ebi, ecr, eci = _twiddle_factors(n1, n2, t, dtype)
 
-    def unpack(keys, refs):
-        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
-                for i, k in enumerate(keys)}
-
     def kern(*refs):
         if real:
             (ar,), rest = refs[:1], refs[1:]
@@ -723,8 +728,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             out_r, out_i, nyq_r, nyq_i, scr_r, scr_i = outs
         else:
             out_r, out_i, scr_r, scr_i = outs
-        cd1 = unpack(keys1, crefs[:nc1])
-        cd2 = unpack(keys2, crefs[nc1:])
+        cd1 = _unpack_consts(keys1, crefs[:nc1])
+        cd2 = _unpack_consts(keys2, crefs[nc1:])
         i = pl.program_id(1)
 
         @pl.when(i < ph1)
@@ -809,11 +814,6 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                     out_r[...] = jnp.where(lane == 0, acc_r, 0.0)
                     out_i[...] = jnp.where(lane == 0, acc_i, 0.0)
 
-    def const_specs(arrs):
-        return [pl.BlockSpec(a.shape,
-                             (lambda nd: lambda b_, i: (0,) * nd)(a.ndim),
-                             memory_space=pltpu.VMEM) for a in arrs]
-
     data_in = pl.BlockSpec((1, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
@@ -869,7 +869,7 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         return pl.pallas_call(
             kern, grid=(b, ph1 + ph2 + ph3),
             in_specs=[data_in] * nin + [base, base, col, col]
-            + const_specs(consts1) + const_specs(consts2),
+            + _const_vmem_specs(consts1) + _const_vmem_specs(consts2),
             out_specs=out_specs,
             out_shape=shapes,
             scratch_shapes=scratch,
@@ -1162,8 +1162,8 @@ _FUSED_2D_MAX_POINTS = 1 << 22     # scratch = 2 planes x total x 4 B
 def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
     """True when the phased 2-D kernel serves this transform: the LAST
     TWO dims transformed (leading dims fold into the kernel's batch
-    grid), both pow2 in [128, 2048], total per image in
-    [2^18, 2^21]. It owns the whole 2-D range — the leaf-32 recursion
+    grid), both pow2 in [128, 2048], total per image in 2^18 up to the
+    PER-TIER cap below. It owns the whole 2-D range — the leaf-32 recursion
     beats the dense-DFT fused-nd kernel even where both serve (512^2:
     33.8 vs 51.0 us; 256x1024: 34.2 vs 76.4; dense stays the 3-D
     engine). The upper cap is PER-TIER (measured v5e): the 6-pass
@@ -1208,6 +1208,9 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # zone preconditions, asserted so a direct out-of-zone call fails
+    # loud instead of flushing never-written output blocks (ph1/ph2 = 0)
+    assert n1 % _ML_TILE == 0 and n2 % _ML_TILE == 0, (n1, n2)
     t = _ML_TILE                       # divides both pow2 dims >= 128
     ph1 = n2 // t                      # stage-1 column tiles
     ph2 = n1 // t                      # stage-2 line tiles
@@ -1217,16 +1220,12 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
     consts2 = _ml_const_arrays(keys2, dtype)
     nc1 = len(consts1)
 
-    def unpack(keys, refs):
-        return {k: (refs[2 * i][...], refs[2 * i + 1][...])
-                for i, k in enumerate(keys)}
-
     def kern(*refs):
         (ar, ai), rest = refs[:2], refs[2:]
         crefs = rest[:nc1 + len(consts2)]
         out_r, out_i, scr_r, scr_i = rest[nc1 + len(consts2):]
-        cd1 = unpack(keys1, crefs[:nc1])
-        cd2 = unpack(keys2, crefs[nc1:])
+        cd1 = _unpack_consts(keys1, crefs[:nc1])
+        cd2 = _unpack_consts(keys2, crefs[nc1:])
         i = pl.program_id(1)
 
         @pl.when(i < ph1)
@@ -1250,11 +1249,6 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
             out_r[0] = zr.T            # (t, n2): rows k1, lanes k2 —
             out_i[0] = zi.T            # natural 2-D order, no transpose
 
-    def const_specs(arrs):
-        return [pl.BlockSpec(a.shape,
-                             (lambda nd: lambda b_, i: (0,) * nd)(a.ndim),
-                             memory_space=pltpu.VMEM) for a in arrs]
-
     data_in = pl.BlockSpec((1, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
@@ -1269,7 +1263,7 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
         return pl.pallas_call(
             kern, grid=(b, ph1 + ph2),
             in_specs=[data_in, data_in]
-            + const_specs(consts1) + const_specs(consts2),
+            + _const_vmem_specs(consts1) + _const_vmem_specs(consts2),
             out_specs=[data_out, data_out],
             out_shape=shapes,
             scratch_shapes=[pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2,

@@ -273,3 +273,44 @@ def test_fused_2d_route_and_inverse_scaling(rng, monkeypatch):
                           np.asarray(br) + 1j * np.asarray(bi)) > 100.0
     finally:
         ndfft._jit_fftn.cache_clear()
+
+
+def test_fused_2d_route_is_differentiable(rng, monkeypatch):
+    """grad and jvp flow through the 2-D pallas zone (kofft_pallas_dft2
+    linear primitive): the routes this kernel displaced (jnp.fft /
+    per-axis engine) were differentiable, so the zone must stay so.
+    Analytic oracle: for the unnormalized DFT, Parseval gives
+    d/dx sum|Fx|^2 = 2*n*x."""
+    import jax
+    import jax.numpy as jnp
+    from kofft_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(ndfft, "_platform_default", lambda: "pallas")
+    import kofft_tpu.ops.pallas_fft as PF
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.fused_fft2_planes
+    monkeypatch.setattr(
+        PK, "fused_fft2_planes",
+        lambda xr, xi, inverse=False: real(xr, xi, inverse, interpret=True))
+
+    shape = (1024, 256)
+    n = shape[0] * shape[1]
+    xr = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def loss(ar, ai):
+        yr, yi = ndfft._fftn_planes(ar, ai, (0, 1), False, "auto")
+        return jnp.sum(yr * yr + yi * yi)
+
+    try:
+        gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+        assert snr_db(2.0 * n * np.asarray(xr, np.float64),
+                      np.asarray(gr)) > 100.0
+        assert snr_db(2.0 * n * np.asarray(xi, np.float64),
+                      np.asarray(gi)) > 100.0
+        # forward mode too (custom_vjp-style wrappers would break here)
+        _, tang = jax.jvp(loss, (xr, xi), (jnp.ones_like(xr),
+                                           jnp.zeros_like(xi)))
+        assert np.isfinite(float(tang))
+    finally:
+        ndfft._jit_fftn.cache_clear()
