@@ -423,20 +423,23 @@ def _tiled_traced(ar, ai, inverse: bool):
         b *= s
     a2r = ar.reshape(b, m, m)
     a2i = ai.reshape(b, m, m)
-    if inverse:
-        a2i = -a2i
     dtype = str(ar.dtype)
-    from .pallas_fft import pallas_supported
+    from .pallas_fft import pallas_supported, pallas_tiled_planes
     if _platform_default() == "pallas" and pallas_supported(n, dtype):
-        from .pallas_kernels import phased_tiled_fft
-        yr, yi = phased_tiled_fft(a2r, a2i)
+        # linear primitive: grad/jvp/vmap flow through the tiled kernel
+        # path exactly as through flat fft_split's _dft_p
+        yr, yi = pallas_tiled_planes(a2r, a2i, inverse)
     else:
+        if inverse:
+            a2i = -a2i
         yr, yi = engine_fft_planes(a2r.reshape(b, n), a2i.reshape(b, n),
                                    n, False, dtype)
         yr = yr.reshape(b, m, m)
         yi = yi.reshape(b, m, m)
+        if inverse:
+            yi = -yi
     if inverse:
-        yr, yi = yr / n, -yi / n
+        yr, yi = yr / n, yi / n
     return yr.reshape(*batch, m, m), yi.reshape(*batch, m, m)
 
 

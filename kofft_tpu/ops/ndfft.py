@@ -128,7 +128,8 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
     if (backend in ("auto", "pallas")
             and _platform_default() == "pallas" and dtype == "float32"):
         from . import pallas_kernels as PK
-        from .pallas_fft import pallas_fft2_planes, pallas_supported
+        from .pallas_fft import (pallas_fft2_planes, pallas_fftn_planes,
+                                 pallas_supported)
         # the env kill-switch and TPU gate ride pallas_supported's
         # smallest served size; the shape gates are the fused zones.
         # The 2-D zone is checked BEFORE the jnp zone below (1024^2
@@ -141,7 +142,7 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
                 yr, yi = pallas_fft2_planes(xr, xi, inverse)
                 return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
             if PK.fused_nd_zone(xr.shape, axes):
-                yr, yi = PK.fused_ndfft_planes(xr, xi, inverse)
+                yr, yi = pallas_fftn_planes(xr, xi, inverse)
                 return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
     if (backend == "auto" and _platform_default() == "pallas"
             and _nd_jnp_zone(xr.shape, axes)):
@@ -265,6 +266,12 @@ def rfftn_split(x, axes: Optional[Sequence[int]] = None,
     (in-kernel one-sided assembly, fused N-D zone...)."""
     from .rfft import rfft_split
     x = jnp.asarray(x)
+    # uniform complex rejection: host callers hit the same typed error
+    # (rfftn below), matching rfft's _prep_real and numpy's complex-input
+    # rejection — previously a complex jax.Array slipped through to the
+    # engine while host input was silently .real-stripped
+    require(not jnp.iscomplexobj(x), InvalidValueError,
+            "rfftn input must be real")
     require(x.ndim >= 1 and min(x.shape) >= 1, EmptyInputError,
             "rfftn input must be non-empty")
     axes = _norm_axes(x.ndim, axes)
@@ -319,11 +326,9 @@ def rfftn(x, axes: Optional[Sequence[int]] = None,
     if host:
         from ._complex import host_float_dtype
         x = np.asarray(x)
-        # component dtype per the host_float policy (_complex.py);
-        # rfftn is real-input, so .real also drops a stray imag part
-        # the way numpy's real transforms do
-        x = np.ascontiguousarray(x.real).astype(
-            host_float_dtype(x.real.dtype))
+        require(not np.iscomplexobj(x), InvalidValueError,
+                "rfftn input must be real")
+        x = np.ascontiguousarray(x).astype(host_float_dtype(x.dtype))
     yr, yi = rfftn_split(x, axes=axes, backend=backend)
     if _is_tracer(yr):
         return merge(yr, yi)

@@ -256,3 +256,138 @@ def pallas_fft2_planes(xr, xi, inverse: bool = False):
     (jvp/grad/vmap supported — the routes this kernel displaced were all
     differentiable, so the 2-D zone must stay differentiable too)."""
     return _dft2_p.bind(xr, xi, inverse=bool(inverse))
+
+
+_dftn_p = _jex.core.Primitive("kofft_pallas_dftn")
+_dftn_p.multiple_results = True
+
+
+def _dftn_eval(xr, xi, *, inverse):
+    from .pallas_kernels import fused_ndfft_planes
+    return fused_ndfft_planes(xr, xi, inverse)
+
+
+_dftn_p.def_impl(_dftn_eval)
+_dftn_p.def_abstract_eval(
+    lambda xr, xi, *, inverse: (xr.update(), xi.update()))
+_mlir.register_lowering(_dftn_p,
+                        _mlir.lower_fun(_dftn_eval, multiple_results=True))
+
+
+def _dftn_jvp(primals, tangents, *, inverse):
+    out = _dftn_p.bind(*primals, inverse=inverse)
+    tr = _inst(tangents[0], primals[0])
+    ti = _inst(tangents[1], primals[1])
+    return out, _dftn_p.bind(tr, ti, inverse=inverse)
+
+
+_ad.primitive_jvps[_dftn_p] = _dftn_jvp
+
+
+def _dftn_transpose(ct, xr, xi, *, inverse):
+    # every per-axis DFT matrix is symmetric, so the real-linear
+    # transpose of the all-axes forward map is the unnormalized inverse
+    # (same argument as _dft2_transpose, over all axes)
+    like = xr.aval if _ad.is_undefined_primal(xr) else xr
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    return _dftn_p.bind(ctr, cti, inverse=not inverse)
+
+
+_ad.primitive_transposes[_dftn_p] = _dftn_transpose
+
+
+def _dftn_batch(args, dims, *, inverse):
+    # the fused N-D kernel transforms EVERY axis of its operand, so a
+    # vmapped axis cannot fold into the kernel shape (it would be
+    # transformed too); map the per-slice bind over the batch dim
+    moved = [a if d is _batching.not_mapped else _jnp.moveaxis(a, d, 0)
+             for a, d in zip(args, dims)]
+    bdim = next(a.shape[0] for a, d in zip(moved, dims)
+                if d is not _batching.not_mapped)
+    moved = [a if d is not _batching.not_mapped
+             else _jnp.broadcast_to(a, (bdim, *a.shape))
+             for a, d in zip(moved, dims)]
+    outs = jax.lax.map(
+        lambda ab: _dftn_p.bind(ab[0], ab[1], inverse=inverse),
+        tuple(moved))
+    return outs, (0, 0)
+
+
+_batching.primitive_batchers[_dftn_p] = _dftn_batch
+
+
+def pallas_fftn_planes(xr, xi, inverse: bool = False):
+    """Unnormalized ALL-AXES N-D DFT via the fused one-call kernel
+    (``pallas_kernels.fused_ndfft_planes``), as a linear primitive — the
+    einsum/jnp routes this zone displaced were differentiable, so the
+    fused N-D zone must stay differentiable too (jvp/grad/vmap)."""
+    return _dftn_p.bind(xr, xi, inverse=bool(inverse))
+
+
+_dftt_p = _jex.core.Primitive("kofft_pallas_dft_tiled")
+_dftt_p.multiple_results = True
+
+
+def _dftt_eval(ar, ai, *, inverse):
+    from .pallas_kernels import phased_tiled_fft
+    if inverse:
+        yr, yi = phased_tiled_fft(ar, -ai)
+        return yr, -yi
+    return phased_tiled_fft(ar, ai)
+
+
+_dftt_p.def_impl(_dftt_eval)
+_dftt_p.def_abstract_eval(
+    lambda ar, ai, *, inverse: (ar.update(), ai.update()))
+_mlir.register_lowering(_dftt_p,
+                        _mlir.lower_fun(_dftt_eval, multiple_results=True))
+
+
+def _dftt_jvp(primals, tangents, *, inverse):
+    out = _dftt_p.bind(*primals, inverse=inverse)
+    tr = _inst(tangents[0], primals[0])
+    ti = _inst(tangents[1], primals[1])
+    return out, _dftt_p.bind(tr, ti, inverse=inverse)
+
+
+_ad.primitive_jvps[_dftt_p] = _dftt_jvp
+
+
+def _dftt_transpose(ct, ar, ai, *, inverse):
+    # the tiled map is the flat 1-D DFT in tiled layout; the DFT matrix
+    # is symmetric, so the transpose is the unnormalized inverse
+    like = ar.aval if _ad.is_undefined_primal(ar) else ar
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    return _dftt_p.bind(ctr, cti, inverse=not inverse)
+
+
+_ad.primitive_transposes[_dftt_p] = _dftt_transpose
+
+
+def _dftt_batch(args, dims, *, inverse):
+    # tiled operands are (b, m, m); an extra vmapped axis folds into b
+    moved = [a if d is _batching.not_mapped else _jnp.moveaxis(a, d, 0)
+             for a, d in zip(args, dims)]
+    bdim = next(a.shape[0] for a, d in zip(moved, dims)
+                if d is not _batching.not_mapped)
+    moved = [a if d is not _batching.not_mapped
+             else _jnp.broadcast_to(a, (bdim, *a.shape))
+             for a, d in zip(moved, dims)]
+    sh = moved[0].shape                      # (B, b, m, m)
+    flat = [a.reshape(sh[0] * sh[1], *sh[2:]) for a in moved]
+    yr, yi = _dftt_p.bind(*flat, inverse=inverse)
+    return (yr.reshape(sh), yi.reshape(sh)), (0, 0)
+
+
+_batching.primitive_batchers[_dftt_p] = _dftt_batch
+
+
+def pallas_tiled_planes(ar, ai, inverse: bool = False):
+    """Unnormalized DFT on TILED (b, m, m) planes via
+    ``pallas_kernels.phased_tiled_fft``, as a linear primitive (the flat
+    ``fft_split`` it mirrors rides the differentiable ``_dft_p``, so the
+    tiled pipeline entries support jvp/grad/vmap too). Inverse is
+    unnormalized (the caller applies 1/n), via conjugation."""
+    return _dftt_p.bind(ar, ai, inverse=bool(inverse))

@@ -370,3 +370,49 @@ def test_tiled_pallas_route_forced(rng, monkeypatch):
         assert snr_db(x.astype(np.complex128), back) > 100.0
     finally:
         F._jitted_tiled.cache_clear()
+
+
+def test_tiled_route_is_differentiable(rng, monkeypatch):
+    """grad/jvp flow through the tiled pallas entries (kofft_pallas_dft_tiled
+    linear primitive) exactly as through flat fft_split's _dft_p — the
+    tiled pipeline is documented as 'the pipeline form of fft_split'.
+    Analytic oracle: d/dx sum|Fx|^2 = 2*n*x (Parseval, unnormalized)."""
+    import jax
+    import jax.numpy as jnp
+    from kofft_tpu.ops import fft as F
+    from kofft_tpu.ops import pallas_kernels as PK
+    import kofft_tpu.ops.pallas_fft as PF
+    import kofft_tpu as kt
+
+    monkeypatch.setattr(F, "_platform_default", lambda: "pallas")
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.phased_tiled_fft
+    monkeypatch.setattr(
+        PK, "phased_tiled_fft",
+        lambda ar, ai: real(ar, ai, interpret=True))
+
+    n = 1 << 14
+    m, _ = kt.tiled_shape(n)
+    ar = jnp.asarray(rng.standard_normal((1, m, m)).astype(np.float32))
+    ai = jnp.asarray(rng.standard_normal((1, m, m)).astype(np.float32))
+
+    def loss(xr, xi):
+        yr, yi = kt.fft_split_tiled(xr, xi)
+        return jnp.sum(yr * yr + yi * yi)
+
+    try:
+        gr, gi = jax.grad(loss, argnums=(0, 1))(ar, ai)
+        assert snr_db(2.0 * n * np.asarray(ar, np.float64),
+                      np.asarray(gr)) > 100.0
+        assert snr_db(2.0 * n * np.asarray(ai, np.float64),
+                      np.asarray(gi)) > 100.0
+        _, tang = jax.jvp(loss, (ar, ai), (jnp.ones_like(ar),
+                                           jnp.zeros_like(ai)))
+        assert np.isfinite(float(tang))
+        # inverse entry differentiates too (1/n-scaled linear map)
+        gr2, _ = jax.grad(
+            lambda xr, xi: jnp.sum(sum(kt.ifft_split_tiled(xr, xi))),
+            argnums=(0, 1))(ar, ai)
+        assert np.all(np.isfinite(np.asarray(gr2)))
+    finally:
+        F._jitted_tiled.cache_clear()

@@ -314,3 +314,75 @@ def test_fused_2d_route_is_differentiable(rng, monkeypatch):
         assert np.isfinite(float(tang))
     finally:
         ndfft._jit_fftn.cache_clear()
+
+
+def test_fused_nd_route_is_differentiable(rng, monkeypatch):
+    """grad and jvp flow through the fused N-D pallas zone
+    (kofft_pallas_dftn linear primitive): the einsum/jnp routes this
+    zone displaced were differentiable, so the zone must stay so.
+    Analytic oracle: d/dx sum|Fx|^2 = 2*n*x (Parseval, unnormalized)."""
+    import jax
+    import jax.numpy as jnp
+    from kofft_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(ndfft, "_platform_default", lambda: "pallas")
+    import kofft_tpu.ops.pallas_fft as PF
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.fused_ndfft_planes
+    monkeypatch.setattr(
+        PK, "fused_ndfft_planes",
+        lambda xr, xi, inverse=False: real(xr, xi, inverse, interpret=True))
+
+    shape = (512, 256)
+    assert PK.fused_nd_zone(shape, (0, 1))
+    assert not PK.fused_2d_zone(shape, (0, 1))   # routes to the N-D zone
+    n = shape[0] * shape[1]
+    xr = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    def loss(ar, ai):
+        yr, yi = ndfft._fftn_planes(ar, ai, (0, 1), False, "auto")
+        return jnp.sum(yr * yr + yi * yi)
+
+    try:
+        gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+        assert snr_db(2.0 * n * np.asarray(xr, np.float64),
+                      np.asarray(gr)) > 100.0
+        assert snr_db(2.0 * n * np.asarray(xi, np.float64),
+                      np.asarray(gi)) > 100.0
+        _, tang = jax.jvp(loss, (xr, xi), (jnp.ones_like(xr),
+                                           jnp.zeros_like(xi)))
+        assert np.isfinite(float(tang))
+        # vmap: the N-D kernel transforms EVERY axis, so the batcher
+        # must lax.map per slice, not fold the mapped dim into the shape
+        xb_r = jnp.stack([xr, 2.0 * xr])
+        xb_i = jnp.stack([xi, 2.0 * xi])
+        vr, vi = jax.vmap(
+            lambda a, b: ndfft._fftn_planes(a, b, (0, 1), False, "auto")
+        )(xb_r, xb_i)
+        y0r, y0i = ndfft._fftn_planes(xr, xi, (0, 1), False, "auto")
+        assert np.allclose(np.asarray(vr[0]), np.asarray(y0r), atol=1e-3)
+        assert np.allclose(np.asarray(vr[1]), 2 * np.asarray(y0r),
+                           atol=2e-3)
+    finally:
+        ndfft._jit_fftn.cache_clear()
+
+
+def test_rfftn_complex_input_rejected(rng):
+    """Complex input raises the same typed error on BOTH the host and
+    device entry (matching rfft's _prep_real; previously a complex
+    jax.Array slipped through to the engine while host input was
+    silently real-stripped)."""
+    import jax.numpy as jnp
+    import kofft_tpu as kt
+    from kofft_tpu.errors import InvalidValueError
+
+    z_host = _rc(rng, (8, 16))
+    with pytest.raises(InvalidValueError):
+        kt.rfftn(z_host)
+    z_dev = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)) \
+        + 1j * jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    with pytest.raises(InvalidValueError):
+        kt.rfftn(z_dev)
+    with pytest.raises(InvalidValueError):
+        kt.rfftn_split(z_dev)
