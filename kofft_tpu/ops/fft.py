@@ -199,6 +199,13 @@ def engine_fft_planes(xr, xi, n: int, inverse: bool, dtype: str,
         if pallas_supported(n, dtype):
             return pallas_fft_planes(xr, xi, n, inverse)
         b = "xla"
+    if dtype == "bfloat16":
+        # bf16 planes are a TPU-kernel I/O contract (half HBM traffic);
+        # engines without a bf16 kernel compute in f32 and round back
+        yr, yi = _fft_planes(xr.astype(jnp.float32),
+                             xi.astype(jnp.float32), n, inverse, b,
+                             "float32")
+        return yr.astype(xr.dtype), yi.astype(xr.dtype)
     return _fft_planes(xr, xi, n, inverse, b, dtype)
 
 

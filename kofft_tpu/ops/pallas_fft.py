@@ -36,11 +36,14 @@ def pallas_supported(n: int, dtype: str) -> bool:
     hot-path sizes (3*2^18, 5*2^16, ...). Measured on v5e (differential
     chained timing): 2^20 c32 in 140 us at 135 dB vs jnp.fft's 218 —
     1.5x faster at higher accuracy; smooth 3*2^18 149 us vs the XLA
-    matmul tree's 163. KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces XLA."""
+    matmul tree's 163. bfloat16 planes ride the same kernels with bf16
+    HBM I/O — the half-traffic batched-throughput form (8x2^20 default
+    tier 69.9 vs 85.5 us/row, SNR 43.7 vs 44.1 dB; exp_batch2c.py).
+    KOFFT_TPU_DISABLE_PALLAS_FFT=1 forces XLA."""
     import os
     if os.environ.get("KOFFT_TPU_DISABLE_PALLAS_FFT") == "1":
         return False
-    if not _on_tpu() or dtype != "float32":
+    if not _on_tpu() or dtype not in ("float32", "bfloat16"):
         return False
     from .pallas_kernels import multilevel_supported
     return multilevel_supported(n)
@@ -160,9 +163,9 @@ _ad.primitive_jvps[_rdft_p] = _rdft_jvp
 
 
 def _rdft_transpose(ct, x, *, n):
-    like_shape = (x.aval if _ad.is_undefined_primal(x) else x).shape
-    os_shape = (*like_shape[:-1], n // 2 + 1)
-    like = jax.ShapeDtypeStruct(os_shape, _jnp.float32)
+    xlike = x.aval if _ad.is_undefined_primal(x) else x
+    os_shape = (*xlike.shape[:-1], n // 2 + 1)
+    like = jax.ShapeDtypeStruct(os_shape, xlike.dtype)
     ctr = _inst(ct[0], like)
     cti = _inst(ct[1], like)
     # transpose of (real -> one-sided planes) = zero-pad the cotangent to

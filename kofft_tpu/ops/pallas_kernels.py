@@ -283,17 +283,26 @@ _ML_TILE = 128    # lines per grid step (1 MB data blocks)
 
 def _ml_split(m: int):
     """Split m = a * b toward <= _ML_LEAF leaves. Pow2 m splits
-    balanced; smooth m keeps its odd factor in b so the recursion
-    bottoms out at an odd*2^c <= 32 DFT-matrix leaf (e.g. 768 -> (16,
-    48) -> (4, 12): leaf DFT-12)."""
+    balanced; smooth m with odd factor <= _MAX_ODD keeps it in b so the
+    recursion bottoms out at an odd*2^c <= 32 DFT-matrix leaf (e.g.
+    768 -> (16, 48) -> (4, 12): leaf DFT-12). Larger odd factors
+    (r4, VERDICT r3 missing #1) take the most balanced divisor split —
+    the recursion descends BOTH factors, so e.g. 1000 -> (25, 40) ->
+    leaf 25 + (2, 20), and 5^6 -> (125, 125) -> (5, 25) twice."""
     tz = (m & -m).bit_length() - 1
     o = m >> tz
     if o == 1:
         k = m.bit_length() - 1
         a = 1 << (k // 2)
         return a, m // a
-    a = 1 << max(1, tz // 2)
-    return a, m // a
+    if o <= _MAX_ODD:
+        a = 1 << max(1, tz // 2)
+        return a, m // a
+    best = None
+    for a in range(2, int(m ** 0.5) + 1):
+        if m % a == 0:
+            best = a                   # largest divisor <= sqrt(m)
+    return best, m // best
 
 
 def multilevel_supported(n: int) -> bool:
@@ -670,7 +679,7 @@ _PHASED_FLAT_MAX_N = 1 << 21
 @functools.lru_cache(maxsize=None)
 def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                   mode: str = "highest", real: bool = False,
-                  flat: bool = False):
+                  flat: bool = False, io: str = "float32"):
     """Phased one-call kernel. Complex: phases (stage 1 | stage 2),
     output the tiled (b, n2, n1) planes (their flat reshape IS the
     natural-order spectrum). Real tiled (``flat=False``): one-sided
@@ -691,7 +700,15 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     same third phase for the full spectrum — stage-2 rows stash in the
     second scratch and phase 3 emits the RANK-1 natural-order (n,)
     planes (no Nyquist tail; n divides the block width), skipping the
-    (1, n2, n1) -> (1, n) XLA relayout on the way out."""
+    (1, n2, n1) -> (1, n) XLA relayout on the way out.
+
+    ``io='bfloat16'`` moves the HBM planes (in AND out) as bf16 while
+    all in-kernel compute stays exactly as the tier specifies — the
+    batched-throughput form for the ``default`` tier, where every MXU
+    dot rounds its operands to bf16 anyway, so the input cast costs no
+    accuracy and only the final output rounding (~48 dB quantization
+    floor) stacks on the tier's ~44 dB. Halves the kernel's HBM traffic
+    (measured v5e, 8x2^20: see benchmarks/exp_batch2c.py)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -712,6 +729,13 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     consts2 = _ml_const_arrays(keys2, dtype)
     nc1 = len(consts1)
     ebr, ebi, ecr, eci = _twiddle_factors(n1, n2, t, dtype)
+    odt = jnp.dtype(io)
+
+    def _iload(v):
+        return v if io == "float32" else v.astype(jnp.float32)
+
+    def _ostore(v):
+        return v if io == "float32" else v.astype(odt)
 
     def kern(*refs):
         if real:
@@ -739,7 +763,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             # one-hot lane select (Mosaic lowers neither 1-wide lane
             # blocks nor dynamic width-1 lane slices).
             yr, yi = _fft_axis0_traced(
-                ar[0], None if real else ai[0], n1, cd1, mode)
+                _iload(ar[0]), None if real else _iload(ai[0]),
+                n1, cd1, mode)
             tbl_r = ecr_r[...]
             tbl_i = eci_r[...]
             lane = jax.lax.broadcasted_iota(jnp.int32, tbl_r.shape, 1)
@@ -755,8 +780,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             if real and not flat:
                 # the Nyquist epilogue needs C[k1=0, :]: emit it as a
                 # small second output, one (1, 1, t) tile per column step
-                nyq_r[0] = cr[0:1, :]
-                nyq_i[0] = ci[0:1, :]
+                nyq_r[0] = _ostore(cr[0:1, :])
+                nyq_i[0] = _ostore(ci[0:1, :])
 
         @pl.when(jnp.logical_and(i >= ph1, i < ph1 + ph2))
         def _stage2():
@@ -772,11 +797,11 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                 sc2_r[j] = zr[:h]          # all rows (complex) / k2 < n2/2
                 sc2_i[j] = zi[:h]
             elif real:
-                out_r[0] = zr[:h]          # one-sided: k2 < n2/2
-                out_i[0] = zi[:h]
+                out_r[0] = _ostore(zr[:h])  # one-sided: k2 < n2/2
+                out_i[0] = _ostore(zi[:h])
             else:
-                out_r[0] = zr              # (n2, t)
-                out_i[0] = zi
+                out_r[0] = _ostore(zr)      # (n2, t)
+                out_i[0] = _ostore(zi)
 
         if flat:
             @pl.when(i >= ph1 + ph2)
@@ -796,8 +821,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                     im = jnp.concatenate(
                         [sc2_i[c, pl.ds(p * tk, tk), :]
                          for c in range(ph2)], axis=1)
-                    out_r[...] = rs.reshape(w)
-                    out_i[...] = im.reshape(w)
+                    out_r[...] = _ostore(rs.reshape(w))
+                    out_i[...] = _ostore(im.reshape(w))
 
                 @pl.when(is_tail)
                 def _nyquist():
@@ -811,8 +836,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                         acc_r += jnp.sum(scr_r[c, 0:1, :] * sgn)
                         acc_i += jnp.sum(scr_i[c, 0:1, :] * sgn)
                     lane = jax.lax.iota(jnp.int32, w)
-                    out_r[...] = jnp.where(lane == 0, acc_r, 0.0)
-                    out_i[...] = jnp.where(lane == 0, acc_i, 0.0)
+                    out_r[...] = _ostore(jnp.where(lane == 0, acc_r, 0.0))
+                    out_i[...] = _ostore(jnp.where(lane == 0, acc_i, 0.0))
 
     data_in = pl.BlockSpec((1, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
@@ -860,12 +885,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         args = (ar,) if real else (ar, ai)
         if flat:
             assert b == 1, "flat phased kernels serve single transforms"
-            shapes = [jax.ShapeDtypeStruct((m_flat,), jnp.float32)] * 2
+            shapes = [jax.ShapeDtypeStruct((m_flat,), odt)] * 2
         elif real:
-            shapes = [jax.ShapeDtypeStruct((b, h, n1), jnp.float32)] * 2
-            shapes += [jax.ShapeDtypeStruct((b, 1, n2), jnp.float32)] * 2
+            shapes = [jax.ShapeDtypeStruct((b, h, n1), odt)] * 2
+            shapes += [jax.ShapeDtypeStruct((b, 1, n2), odt)] * 2
         else:
-            shapes = [jax.ShapeDtypeStruct((b, n2, n1), jnp.float32)] * 2
+            shapes = [jax.ShapeDtypeStruct((b, n2, n1), odt)] * 2
         return pl.pallas_call(
             kern, grid=(b, ph1 + ph2 + ph3),
             in_specs=[data_in] * nin + [base, base, col, col]
@@ -900,7 +925,14 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     """Forward unnormalized DFT via the multi-level fused kernels.
     Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
     *only if* each stage's in-VMEM line FFT produces natural order — it
-    does: the recursion emits k = ka + a*kb along the line axis."""
+    does: the recursion emits k = ka + a*kb along the line axis.
+
+    bfloat16 planes select the half-HBM-traffic I/O form of the phased
+    kernel (in-kernel compute unchanged; see ``_build_phased`` io=);
+    shapes the phased grid does not serve upcast to the f32 kernels and
+    round the result back — correctness first, the speed path is the
+    served zone."""
+    io = "bfloat16" if str(xr.dtype) == "bfloat16" else "float32"
     batch = xr.shape[:-1]
     b = 1
     for s in batch:
@@ -909,6 +941,15 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     bt = _ml_batch_tile(b, n1, n2)
     ar = xr.reshape(b, n1, n2)
     ai = xi.reshape(b, n1, n2)
+    if io != "float32":
+        if _use_phased(n, bt):
+            run = _build_phased(n, "float32", interpret,
+                                _kernel_precision(), io=io)
+            yr, yi = run(b, ar, ai)
+            return yr.reshape(*batch, n), yi.reshape(*batch, n)
+        yr, yi = fused_multilevel_fft(xr.astype(jnp.float32),
+                                      xi.astype(jnp.float32), n, interpret)
+        return yr.astype(xr.dtype), yi.astype(xr.dtype)
     if (_use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N
             and (interpret or (not (n & (n - 1)) and n1 >= 1024))):
         # on chip: pow2 with n1 >= 1024 only — Mosaic's 1-D shape-cast
@@ -955,13 +996,39 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
     one-sided assembly epilogue measures 8.6 us (r1's "rfft slower than
     the complex FFT" was mostly a harness-structure artifact — see
     benchmarks/exp_harness_bias.py — plus the halved write traffic
-    here). Returns planes of shape (..., n//2 + 1)."""
+    here). Returns planes of shape (..., n//2 + 1). bfloat16 input
+    rides the bf16-I/O form of the phased grid (see
+    ``fused_multilevel_fft``); unserved shapes upcast."""
+    io = "bfloat16" if str(x.dtype) == "bfloat16" else "float32"
     batch = x.shape[:-1]
     b = 1
     for s in batch:
         b *= s
     n1, n2 = _pow2_split(n)
     bt = _ml_batch_tile(b, n1, n2)
+    if io != "float32":
+        if not _use_phased(n, bt):
+            yr, yi = fused_multilevel_rfft(x.astype(jnp.float32), n,
+                                           interpret)
+            return yr.astype(x.dtype), yi.astype(x.dtype)
+        run = _build_phased(n, "float32", interpret, _kernel_precision(),
+                            real=True, io=io)
+        hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))
+        # Nyquist epilogue in f32 (bf16 accumulation would round the
+        # alternating sum), result rounded back to the io dtype
+        signs = jnp.asarray(
+            tables.custom(("altsign", n2, "float32"),
+                          lambda: (np.where(np.arange(n2) % 2 == 0,
+                                            1.0, -1.0)
+                                   .astype("float32"),))[0])
+        nr = jnp.sum(c0r[:, 0, :].astype(jnp.float32) * signs,
+                     axis=-1)[:, None].astype(x.dtype)
+        ni = jnp.sum(c0i[:, 0, :].astype(jnp.float32) * signs,
+                     axis=-1)[:, None].astype(x.dtype)
+        yr = jnp.concatenate([hr.reshape(b, n // 2), nr], axis=-1)
+        yi = jnp.concatenate([hi.reshape(b, n // 2), ni], axis=-1)
+        return (yr.reshape(*batch, n // 2 + 1),
+                yi.reshape(*batch, n // 2 + 1))
     if (_use_phased(n, bt) and batch == ()
             and (interpret
                  or (not (n & (n - 1)) and _pow2_split(n)[0] >= 1024))):
@@ -1132,10 +1199,17 @@ def phased_tiled_fft(ar, ai, interpret: bool = False):
     m = ar.shape[-1]
     n = m * m
     bt = _ml_batch_tile(b, m, m)
+    io = "bfloat16" if str(ar.dtype) == "bfloat16" else "float32"
     if _use_phased(n, bt):
-        run = _build_phased(n, str(ar.dtype), interpret,
-                            _kernel_precision())
+        # constants/tables stay f32; io only switches the HBM plane
+        # dtype (half traffic for bf16 pipelines — see _build_phased)
+        run = _build_phased(n, "float32", interpret,
+                            _kernel_precision(), io=io)
         return run(b, ar, ai)
+    if io != "float32":
+        yr, yi = phased_tiled_fft(ar.astype(jnp.float32),
+                                  ai.astype(jnp.float32), interpret)
+        return yr.astype(ar.dtype), yi.astype(ar.dtype)
     _, _, stage1, _, stage2, _ = _build_ml(n, str(ar.dtype), interpret,
                                            _kernel_precision(), bt)
     cr, ci = stage1(b, ar, ai)

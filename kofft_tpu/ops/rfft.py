@@ -56,15 +56,23 @@ def _rfft_planes(x, n: int, backend: str):
         auto = backend == "auto"
         backend = _platform_default() if auto else backend
         if backend == "pallas":
-            if auto and _jnp_fft_zone(x.shape, n):
+            if auto and dtype == "float32" and _jnp_fft_zone(x.shape, n):
                 # measured-fastest engine for batched mid-size transforms
-                # (zone reroutes never override an explicit request)
+                # (zone reroutes never override an explicit request;
+                # bf16 input is a kernel-I/O contract, not a jnp one)
                 y = jnp.fft.rfft(x, n)
                 return jnp.real(y), jnp.imag(y)
             if pallas_supported(n, dtype):
                 # kernel emits the one-sided planes directly (no slice pass)
                 return pallas_rfft_planes(x, n)
             backend = "xla"
+    if dtype == "bfloat16":
+        # engines without a bf16 kernel compute in f32 and round back
+        x32 = x.astype(jnp.float32)
+        yr, yi = _fft_planes(x32, jnp.zeros_like(x32), n, False,
+                             backend, "float32")
+        return (yr[..., : n // 2 + 1].astype(x.dtype),
+                yi[..., : n // 2 + 1].astype(x.dtype))
     yr, yi = _fft_planes(x, jnp.zeros_like(x), n, False, backend, dtype)
     return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]
 

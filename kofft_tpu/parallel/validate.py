@@ -15,7 +15,7 @@ import re
 
 __all__ = ["hlo_all_to_all_local_bytes", "fft_sharded_expected_a2a_bytes",
            "check_fft_sharded_comm_volume", "hlo_a2a_independent_sources",
-           "hlo_a2a_bytes_by_group_size"]
+           "hlo_a2a_bytes_by_group_size", "hlo_ppermute_bytes_by_tier"]
 
 _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8,
                 "c128": 16, "s32": 4, "u32": 4}
@@ -86,6 +86,43 @@ def hlo_a2a_bytes_by_group_size(compiled_text: str) -> dict:
         g = _GROUPS.search(attrs)
         size = len(g.group(1).strip("{}").split(",")) if g else 0
         out[size] = out.get(size, 0) + _float_shape_bytes(m.group(2))
+    return out
+
+
+_CPERM = re.compile(
+    r"=\s*(.*?)\s*collective-permute(?:-start)?\(", re.DOTALL)
+_PAIRS = re.compile(r"source_target_pairs=\{((?:\{\d+,\d+\},?)+)\}")
+_PAIR = re.compile(r"\{(\d+),(\d+)\}")
+
+
+def hlo_ppermute_bytes_by_tier(compiled_text: str,
+                               chips_per_slice: int) -> dict:
+    """Per-tier volume audit for hierarchical halo exchange: bytes moved
+    by ``collective-permute`` ops, split by whether each (src, dst) pair
+    stays within a slice (``ici``) or crosses slices (``dcn``) under the
+    row-major (slice-major, chip-minor) device linearization. Each pair
+    moves the op's per-shard payload once, so
+    ``bytes = payload_bytes * n_pairs`` per tier — the checked form of
+    SURVEY §5.8's "halo bytes cross a slice boundary exactly once".
+    Async start/done pairs are counted once (at the start op, whose
+    attribute line carries the pairs)."""
+    out = {"ici": 0, "dcn": 0}
+    for line in compiled_text.splitlines():
+        m = _CPERM.search(line)
+        if not m or "collective-permute-done" in line:
+            continue
+        pairs = _PAIRS.search(line)
+        if not pairs:
+            continue
+        payload = _float_shape_bytes(line[: m.end()])
+        if "-start" in line:
+            # start result is a (operand, result, ...) tuple: the
+            # transferred shard is counted once, not per tuple element
+            payload = _float_shape_bytes(m.group(1)) // 2 or payload
+        for a, b in _PAIR.findall(pairs.group(1)):
+            tier = ("ici" if int(a) // chips_per_slice
+                    == int(b) // chips_per_slice else "dcn")
+            out[tier] += payload
     return out
 
 

@@ -416,3 +416,35 @@ def test_tiled_route_is_differentiable(rng, monkeypatch):
         assert np.all(np.isfinite(np.asarray(gr2)))
     finally:
         F._jitted_tiled.cache_clear()
+
+
+def test_tiled_bf16_io(rng, monkeypatch):
+    """Tiled pipeline entries accept bf16 planes: served shapes ride the
+    bf16-I/O phased grid, dtype contract bf16 in -> bf16 out."""
+    import jax.numpy as jnp
+    from kofft_tpu.ops import fft as F
+    from kofft_tpu.ops import pallas_kernels as PK
+    import kofft_tpu.ops.pallas_fft as PF
+    import kofft_tpu as kt
+
+    monkeypatch.setattr(F, "_platform_default", lambda: "pallas")
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.phased_tiled_fft
+    monkeypatch.setattr(
+        PK, "phased_tiled_fft",
+        lambda ar, ai: real(ar, ai, interpret=True))
+    n = 1 << 14
+    m, _ = kt.tiled_shape(n)
+    x = (rng.standard_normal((1, m * m))
+         + 1j * rng.standard_normal((1, m * m))).astype(np.complex64)
+    ar = jnp.asarray(x.real.reshape(1, m, m), jnp.bfloat16)
+    ai = jnp.asarray(x.imag.reshape(1, m, m), jnp.bfloat16)
+    try:
+        yr, yi = kt.fft_split_tiled(ar, ai)
+        assert yr.dtype == jnp.bfloat16
+        got = (np.asarray(yr, np.float64)
+               + 1j * np.asarray(yi, np.float64)).reshape(1, m * m)
+        s = snr_db(np.fft.fft(x.astype(np.complex128)), got)
+        assert s > 30.0, s
+    finally:
+        F._jitted_tiled.cache_clear()

@@ -68,3 +68,35 @@ def test_wav_decode_truncated_fmt_chunk_safe():
     bad = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00")
     assert native.wav_decode_i16(bad) is None
+
+
+def test_build_force_and_load_cached():
+    """build(force=True) recompiles from source; a second _load() hit
+    returns the cached handle without re-entering the build."""
+    from kofft_tpu import native
+    assert native.build(force=True)
+    lib1 = native._load()
+    lib2 = native._load()
+    assert lib1 is lib2
+
+
+def test_png_encode_rejects_bad_shapes_and_dtypes(rng):
+    from kofft_tpu.native import png_encode
+    assert png_encode(rng.random((8, 8)).astype(np.float32)) is None
+    assert png_encode(
+        rng.random((8, 8, 3)).astype(np.float32)) is None  # float dtype
+    assert png_encode(
+        (rng.random((8, 8, 4)) * 255).astype(np.uint8)) is None  # RGBA
+
+
+def test_native_ola_error_paths():
+    from kofft_tpu.native import NativeOla
+    import numpy as np
+    w = np.hanning(16).astype(np.float32)
+    with pytest.raises(ValueError):
+        NativeOla(16, 4, window=np.ones(8, np.float32))  # wrong win len
+    with pytest.raises(ValueError):
+        NativeOla(16, 0, window=w)                       # invalid hop
+    ola = NativeOla(16, 4, window=w)
+    with pytest.raises(ValueError):
+        ola.push(np.ones(8, np.float32))                 # wrong frame len

@@ -567,3 +567,75 @@ def test_tiled_batch_folded_branch_interpret(rng):
     yr, yi = phased_tiled_fft(ar, ai, interpret=True)
     got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(4, n)
     assert snr_db(np.fft.fft(x.astype(np.complex128)), got) > 100.0
+
+
+def test_bf16_io_phased_parity_interpret(rng):
+    """bfloat16 plane I/O (half HBM traffic, the batched-throughput
+    form): same phased kernel, bf16 blocks in/out, f32 compute inside.
+    SNR floor is the bf16 quantization of input+output (~35-45 dB on
+    white data), dtype contract bf16 in -> bf16 out."""
+    from kofft_tpu.ops.pallas_kernels import _pow2_split, _build_phased
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    xr = rng.standard_normal((2, n)).astype(np.float32)
+    xi = rng.standard_normal((2, n)).astype(np.float32)
+    run = _build_phased(n, "float32", True, "highest", io="bfloat16")
+    ar = jnp.asarray(xr.reshape(2, n1, n2), jnp.bfloat16)
+    ai = jnp.asarray(xi.reshape(2, n1, n2), jnp.bfloat16)
+    yr, yi = run(2, ar, ai)
+    assert yr.dtype == jnp.bfloat16 and yi.dtype == jnp.bfloat16
+    got = (np.asarray(yr, np.float64)
+           + 1j * np.asarray(yi, np.float64)).reshape(2, n)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    s = snr_db(ref, got)
+    assert 30.0 < s < 80.0, s
+
+
+def test_bf16_io_entry_and_fallback(rng):
+    """fused_multilevel_fft / fused_multilevel_rfft accept bf16 planes:
+    served shapes ride the bf16-I/O phased grid; unserved shapes (small
+    n with batch folding) upcast to the f32 kernels and round back —
+    both keep the bf16 in/out dtype contract."""
+    from kofft_tpu.ops.pallas_kernels import (fused_multilevel_fft,
+                                              fused_multilevel_rfft)
+    n = 1 << 14
+    x = rng.standard_normal((n,)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    yr, yi = fused_multilevel_fft(xb, jnp.zeros_like(xb), n,
+                                  interpret=True)
+    assert yr.dtype == jnp.bfloat16
+    ref = np.fft.fft(x.astype(np.float64))
+    s = snr_db(ref, np.asarray(yr, np.float64)
+               + 1j * np.asarray(yi, np.float64))
+    assert s > 30.0, s
+    # batch-folded small shape -> upcast fallback (bt > 1)
+    xb8 = jnp.asarray(rng.standard_normal((8, n)).astype(np.float32),
+                      jnp.bfloat16)
+    yr8, yi8 = fused_multilevel_fft(xb8, jnp.zeros_like(xb8), n,
+                                    interpret=True)
+    assert yr8.dtype == jnp.bfloat16 and yr8.shape == (8, n)
+    # real path
+    hr, hi = fused_multilevel_rfft(xb, n, interpret=True)
+    assert hr.dtype == jnp.bfloat16 and hr.shape == (n // 2 + 1,)
+    sref = np.fft.rfft(x.astype(np.float64))
+    s2 = snr_db(sref, np.asarray(hr, np.float64)
+                + 1j * np.asarray(hi, np.float64))
+    assert s2 > 30.0, s2
+
+
+def test_bf16_engine_fallback_off_tpu(rng):
+    """Off-TPU (no pallas), bf16 planes upcast to the f32 XLA engine and
+    round back — public fft_split keeps the dtype contract everywhere."""
+    import kofft_tpu as kt
+    n = 2048
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    yr, yi = kt.fft_split(xb, jnp.zeros_like(xb))
+    assert yr.dtype == jnp.bfloat16
+    ref = np.fft.fft(x.astype(np.float64))
+    s = snr_db(ref, np.asarray(yr, np.float64)
+               + 1j * np.asarray(yi, np.float64))
+    assert s > 30.0, s
+    from kofft_tpu.ops.rfft import rfft_split
+    hr, hi = rfft_split(xb)
+    assert hr.dtype == jnp.bfloat16 and hr.shape == (3, n // 2 + 1)

@@ -746,3 +746,77 @@ def test_calibrate_scan_up_reaches_max_points(mesh, monkeypatch):
         assert get_config().shard_threshold == out
     finally:
         set_shard_threshold(None)
+
+
+def test_stft_sharded_hier_matches_single(rng):
+    """Hierarchical (slice, chip) STFT parity vs the single-chip engine,
+    on a (2, 4) virtual mesh (SURVEY §5.8; VERDICT r3 missing #2)."""
+    from kofft_tpu.parallel import stft_sharded_hier
+    from kofft_tpu.parallel.hier import make_hier_mesh
+    h = make_hier_mesh(2, 4)
+    n, win, hop = 8 * 64, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    fr, fi = stft_sharded_hier(x, w, hop, mesh=h)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    ref = np.asarray(S.stft(x, w, hop))
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > SNR
+
+
+def test_istft_sharded_hier_matches_single(rng):
+    from kofft_tpu.parallel import istft_sharded_hier
+    from kofft_tpu.parallel.hier import make_hier_mesh
+    h = make_hier_mesh(2, 4)
+    n, win, hop = 8 * 64, 64, 16
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    frames = np.asarray(S.stft(x, w, hop))
+    nf = frames.shape[0]
+    offline = np.asarray(S.istft(frames, w, hop,
+                                 length=(nf - 1) * hop + win))
+    out = np.asarray(istft_sharded_hier(
+        np.ascontiguousarray(frames.real),
+        np.ascontiguousarray(frames.imag), w, hop, mesh=h))
+    assert out.shape == (nf * hop,)
+    assert snr_db(offline[: nf * hop], out) > SNR
+
+
+def test_stft_istft_hier_roundtrip(rng):
+    from kofft_tpu.parallel import istft_sharded_hier, stft_sharded_hier
+    from kofft_tpu.parallel.hier import make_hier_mesh
+    h = make_hier_mesh(4, 2)          # the other factorization too
+    n, win, hop = 8 * 128, 128, 32
+    x = rng.standard_normal(n).astype(np.float32)
+    w = W.hann(win)
+    fr, fi = stft_sharded_hier(x, w, hop, mesh=h)
+    out = np.asarray(istft_sharded_hier(fr, fi, w, hop, mesh=h))
+    assert snr_db(x[win:n - win], out[win:n - win]) > SNR
+
+
+def test_stft_hier_halo_bytes_by_tier(rng):
+    """The halo's tier split is a checked property: the compiled
+    hierarchical STFT's collective-permutes move halo bytes over
+    s*(c-1) intra-slice pairs (ICI) and exactly s-1 slice-boundary
+    pairs (DCN) — each boundary halo crosses the DCN once, nothing
+    else rides it."""
+    import jax
+    from kofft_tpu.config import trace_key
+    from kofft_tpu.ops.stft import _window_key, _window_const
+    from kofft_tpu.parallel.hier import make_hier_mesh, _mesh2_key
+    from kofft_tpu.parallel.stft_sharded import _build_stft_hier
+    from kofft_tpu.parallel.validate import hlo_ppermute_bytes_by_tier
+
+    s, c = 2, 4
+    h = make_hier_mesh(s, c)
+    win, hop = 64, 16
+    halo = win - hop
+    w = _window_const(W.hann(win))
+    n_local = 8 * hop
+    fn, sh = _build_stft_hier(_mesh2_key(h), n_local, win, hop,
+                              _window_key(w), "xla", trace_key())
+    x = jax.device_put(np.zeros(8 * n_local, np.float32), sh)
+    txt = fn.lower(x).compile().as_text()
+    per = hlo_ppermute_bytes_by_tier(txt, chips_per_slice=c)
+    assert per == {"ici": s * (c - 1) * halo * 4,
+                   "dcn": (s - 1) * halo * 4}, per

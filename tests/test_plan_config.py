@@ -117,3 +117,54 @@ def test_prewarm_hits_real_caches(rng):
     z = jnp.zeros((n,), jnp.float32)
     kt.fft_split(z, z)
     assert _jitted_entry_pp.cache_info().misses == before
+
+
+def test_balanced_split_prime_and_tree_helpers():
+    """balanced_split of a prime returns (1, n) (the Bluestein signal);
+    build_factor_tree's prime safety net emits one DFT leaf; the tree
+    introspection helpers enumerate leaves and twiddle keys."""
+    from kofft_tpu.plan import (DftLeaf, balanced_split, build_factor_tree,
+                                tree_leaf_sizes, tree_twiddle_keys)
+    assert balanced_split(7919) == (1, 7919)
+    leaf = build_factor_tree(7919)
+    assert isinstance(leaf, DftLeaf) and leaf.n == 7919
+    t = build_factor_tree(1024, cutoff=32)
+    assert tree_leaf_sizes(t) <= {2, 4, 8, 16, 32}
+    for n1, n2 in tree_twiddle_keys(t):
+        assert n1 * n2 in (1024, 32, 64)   # node sizes of the tree
+
+
+def test_table_cache_clear_and_len():
+    from kofft_tpu.plan import tables
+    tables.dft_matrix(8, "float32")
+    assert len(tables) > 0
+    tables.clear()
+    assert len(tables) == 0
+    # rebuilt on demand after clear
+    fr, fi = tables.dft_matrix(8, "float32")
+    assert fr.shape == (8, 8) and len(tables) == 1
+
+
+def test_env_parsing_errors(monkeypatch):
+    from kofft_tpu.config import _env_int, _env_str
+    monkeypatch.setenv("KOFFT_TEST_INT", "notanint")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _env_int("KOFFT_TEST_INT", 3)
+    monkeypatch.setenv("KOFFT_TEST_INT", "")
+    assert _env_int("KOFFT_TEST_INT", 3) == 3
+    monkeypatch.setenv("KOFFT_TEST_STR", "bogus")
+    with _pytest.raises(ValueError):
+        _env_str("KOFFT_TEST_STR", "a", ("a", "b"))
+
+
+def test_setter_validation_errors():
+    import pytest as _pytest
+    from kofft_tpu.config import (set_dft_cutoff, set_overlap_chunks,
+                                  get_config)
+    with _pytest.raises(ValueError):
+        set_dft_cutoff(1)
+    with _pytest.raises(ValueError):
+        set_overlap_chunks(-2)
+    set_overlap_chunks(None)           # restores the env default
+    assert get_config().overlap_chunks >= 1

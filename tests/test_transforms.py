@@ -285,3 +285,28 @@ def test_istft_split_roundtrip_and_error_names(rng):
     assert _jax.config.jax_compilation_cache_dir == "/tmp/kofft_cc_test"
     if prev:
         _jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_dht_batch_and_multi_channel_aliases(rng):
+    from kofft_tpu.ops.hartley import dht, dht_batch, dht_multi_channel
+    x = rng.standard_normal((3, 32)).astype(np.float32)
+    base = np.asarray(dht(x))
+    assert np.allclose(np.asarray(dht_batch(x)), base)
+    assert np.allclose(np.asarray(dht_multi_channel(x)), base)
+
+
+def test_hilbert_public_entries(rng):
+    """hilbert() = Im(analytic); hilbert_analytic merges planes (host
+    numpy on complex-banned transports)."""
+    from kofft_tpu.ops.hilbert import (hilbert, hilbert_analytic,
+                                       hilbert_analytic_split)
+    x = rng.standard_normal(64).astype(np.float32)
+    zr, zi = hilbert_analytic_split(x)
+    h = np.asarray(hilbert(x))
+    assert np.allclose(h, np.asarray(zi), atol=1e-5)
+    z = hilbert_analytic(x)
+    z = np.asarray(z)
+    assert np.allclose(z.real, np.asarray(zr), atol=1e-5)
+    # analytic-signal property: negative frequencies vanish
+    spec = np.fft.fft(z.astype(np.complex128))
+    assert np.max(np.abs(spec[64 // 2 + 1:])) < 1e-2 * np.max(np.abs(spec))

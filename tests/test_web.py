@@ -195,3 +195,37 @@ def test_api_error_paths(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_app_routes_table():
+    from kofft_tpu.web.server import app_routes
+    routes = app_routes()
+    assert routes["/health"] == "health"
+    assert "/api/stft" in routes and routes["/"] == "static"
+
+
+def test_options_preflight(server):
+    import urllib.request
+    req = urllib.request.Request(server + "/api/stft", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 204
+        assert r.headers.get("Access-Control-Allow-Origin") == "*"
+
+
+def test_api_error_paths_return_400(server):
+    # compute_frame with malformed samples (ragged) -> handler -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/api/compute_frame", {"samples": [[1.0], [1, 2]]})
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read().decode())
+    # unknown palette names FALL BACK to Fire (reference
+    # Colormap::parse, spectrogram.rs:34-45) — not an error
+    assert _post(server + "/api/set_colormap",
+                 {"name": "no-such-map"})[1]["ok"]
+    # malformed json body -> 400
+    req = urllib.request.Request(
+        server + "/api/set_colormap", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei3:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei3.value.code == 400

@@ -61,6 +61,10 @@ def main(argv=None):
                                          / "coverage.json"))
     ap.add_argument("--missing", action="store_true",
                     help="record uncovered line ranges per file")
+    ap.add_argument("--file-fail-under", type=float, default=80.0,
+                    help="per-file floor (files with >= 10 executable "
+                         "lines); stops the aggregate gate hiding a "
+                         "hole in one module (VERDICT r3 weak #6)")
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args(argv)
 
@@ -121,6 +125,7 @@ def main(argv=None):
         "executable_lines": tot_exec,
         "executed_lines": tot_hit,
         "fail_under": args.fail_under,
+        "file_fail_under": args.file_fail_under,
         "files": per_file,
     }
     out = pathlib.Path(args.out)
@@ -132,11 +137,19 @@ def main(argv=None):
     for r in worst:
         print(f"  lowest: {r['file']} {r['percent']}% "
               f"({r['executed']}/{r['executable']})")
+    rc = 0
     if pct < args.fail_under:
         print(f"coverage_gate: FAIL — below --fail-under="
               f"{args.fail_under}")
-        return 2
-    return 0
+        rc = 2
+    low = [r for r in per_file
+           if r["executable"] >= 10 and r["percent"] < args.file_fail_under]
+    if low:
+        for r in low:
+            print(f"coverage_gate: FAIL — {r['file']} {r['percent']}% "
+                  f"< per-file floor {args.file_fail_under}")
+        rc = rc or 3
+    return rc
 
 
 if __name__ == "__main__":
