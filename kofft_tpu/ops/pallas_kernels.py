@@ -679,7 +679,7 @@ _PHASED_FLAT_MAX_N = 1 << 21
 @functools.lru_cache(maxsize=None)
 def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                   mode: str = "highest", real: bool = False,
-                  flat: bool = False, io: str = "float32"):
+                  flat: bool = False, io: str = "float32", rows: int = 1):
     """Phased one-call kernel. Complex: phases (stage 1 | stage 2),
     output the tiled (b, n2, n1) planes (their flat reshape IS the
     natural-order spectrum). Real tiled (``flat=False``): one-sided
@@ -702,13 +702,28 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     planes (no Nyquist tail; n divides the block width), skipping the
     (1, n2, n1) -> (1, n) XLA relayout on the way out.
 
-    ``io='bfloat16'`` moves the HBM planes (in AND out) as bf16 while
-    all in-kernel compute stays exactly as the tier specifies — the
+    ``io='bfloat16'`` emits the OUTPUT HBM planes as bf16 while all
+    in-kernel compute stays exactly as the tier specifies — the
     batched-throughput form for the ``default`` tier, where every MXU
-    dot rounds its operands to bf16 anyway, so the input cast costs no
-    accuracy and only the final output rounding (~48 dB quantization
-    floor) stacks on the tier's ~44 dB. Halves the kernel's HBM traffic
-    (measured v5e, 8x2^20: see benchmarks/exp_batch2c.py)."""
+    dot rounds its operands to bf16 anyway, so only the final output
+    rounding (~48 dB quantization floor) stacks on the tier's ~44 dB.
+    The INPUT plane dtype follows the operands independently: bf16
+    operands halve the read traffic at zero accuracy cost on this tier
+    regardless of ``io`` (asymmetric I/O — f32 public callers cast
+    their input in the XLA prologue, where the convert fuses into the
+    flat->tiled relayout that materializes anyway, and keep the output
+    f32). Measured v5e, 8x2^20 default tier: see
+    benchmarks/exp_batch2c.py and benchmarks/exp_io_cast.py.
+
+    ``rows`` folds that many batch rows into each grid step (blocks
+    (rows, n1, t), scratch (rows, ph1, n1, t)): halves row transitions
+    and doubles DMA block size. Measured v5e 8x2^20 (exp_batch3.py):
+    rows=2 is -2.7% at HIGHEST (158.2 -> 153.9 us/row) and -8% at
+    default (87.6 -> 80.4); rows=4 WINS ~1 more us at default but
+    collapses at HIGHEST (240.7 — scratch eats the pipeline's VMEM), so
+    2 is the shipped fold. Mosaic dimension_semantics=(parallel,
+    arbitrary) measured a flat zero at both tiers (same experiment) —
+    do not retry. Flat mode requires rows == 1."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -732,10 +747,14 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     odt = jnp.dtype(io)
 
     def _iload(v):
-        return v if io == "float32" else v.astype(jnp.float32)
+        # input HBM dtype follows the operand (asymmetric I/O): compute
+        # is always f32 in-kernel, so non-f32 blocks upcast on load
+        return v if v.dtype == jnp.float32 else v.astype(jnp.float32)
 
     def _ostore(v):
         return v if io == "float32" else v.astype(odt)
+
+    assert rows == 1 or not flat, "flat phased kernels are single-row"
 
     def kern(*refs):
         if real:
@@ -761,10 +780,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             # column tile i: FFT each length-n1 column, twiddle, stash.
             # Twiddle block synthesized from the factored tables via a
             # one-hot lane select (Mosaic lowers neither 1-wide lane
-            # blocks nor dynamic width-1 lane slices).
-            yr, yi = _fft_axis0_traced(
-                _iload(ar[0]), None if real else _iload(ai[0]),
-                n1, cd1, mode)
+            # blocks nor dynamic width-1 lane slices); hoisted out of
+            # the rows loop (identical for every batch row).
             tbl_r = ecr_r[...]
             tbl_i = eci_r[...]
             lane = jax.lax.broadcasted_iota(jnp.int32, tbl_r.shape, 1)
@@ -773,35 +790,43 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             c_i = jnp.sum(tbl_i * sel, axis=1, keepdims=True)
             w_r = c_r * ebr_r[...] - c_i * ebi_r[...]
             w_i = c_r * ebi_r[...] + c_i * ebr_r[...]
-            cr = yr * w_r - yi * w_i
-            ci = yr * w_i + yi * w_r
-            scr_r[i] = cr
-            scr_i[i] = ci
-            if real and not flat:
-                # the Nyquist epilogue needs C[k1=0, :]: emit it as a
-                # small second output, one (1, 1, t) tile per column step
-                nyq_r[0] = _ostore(cr[0:1, :])
-                nyq_i[0] = _ostore(ci[0:1, :])
+            for r in range(rows):
+                yr, yi = _fft_axis0_traced(
+                    _iload(ar[r]), None if real else _iload(ai[r]),
+                    n1, cd1, mode)
+                cr = yr * w_r - yi * w_i
+                ci = yr * w_i + yi * w_r
+                scr_r[r, i] = cr
+                scr_i[r, i] = ci
+                if real and not flat:
+                    # the Nyquist epilogue needs C[k1=0, :]: emit it as
+                    # a small second output, one (rows, 1, t) tile per
+                    # column step
+                    nyq_r[r] = _ostore(cr[0:1, :])
+                    nyq_i[r] = _ostore(ci[0:1, :])
 
         @pl.when(jnp.logical_and(i >= ph1, i < ph1 + ph2))
         def _stage2():
             j = i - ph1
-            # line block (t, n2): rows [j*t, j*t+t) of the (n1, n2) C
-            # view = that row range of every scratch chunk
-            br = jnp.concatenate(
-                [scr_r[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
-            bi = jnp.concatenate(
-                [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
-            zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
-            if flat:
-                sc2_r[j] = zr[:h]          # all rows (complex) / k2 < n2/2
-                sc2_i[j] = zi[:h]
-            elif real:
-                out_r[0] = _ostore(zr[:h])  # one-sided: k2 < n2/2
-                out_i[0] = _ostore(zi[:h])
-            else:
-                out_r[0] = _ostore(zr)      # (n2, t)
-                out_i[0] = _ostore(zi)
+            for r in range(rows):
+                # line block (t, n2): rows [j*t, j*t+t) of the (n1, n2)
+                # C view = that row range of every scratch chunk
+                br = jnp.concatenate(
+                    [scr_r[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
+                    axis=1)
+                bi = jnp.concatenate(
+                    [scr_i[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
+                    axis=1)
+                zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
+                if flat:
+                    sc2_r[j] = zr[:h]      # all rows (complex) / k2 < n2/2
+                    sc2_i[j] = zi[:h]
+                elif real:
+                    out_r[r] = _ostore(zr[:h])  # one-sided: k2 < n2/2
+                    out_i[r] = _ostore(zi[:h])
+                else:
+                    out_r[r] = _ostore(zr)      # (n2, t)
+                    out_i[r] = _ostore(zi)
 
         if flat:
             @pl.when(i >= ph1 + ph2)
@@ -833,13 +858,13 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                     acc_r = jnp.float32(0.0)
                     acc_i = jnp.float32(0.0)
                     for c in range(ph1):
-                        acc_r += jnp.sum(scr_r[c, 0:1, :] * sgn)
-                        acc_i += jnp.sum(scr_i[c, 0:1, :] * sgn)
+                        acc_r += jnp.sum(scr_r[0, c, 0:1, :] * sgn)
+                        acc_i += jnp.sum(scr_i[0, c, 0:1, :] * sgn)
                     lane = jax.lax.iota(jnp.int32, w)
                     out_r[...] = _ostore(jnp.where(lane == 0, acc_r, 0.0))
                     out_i[...] = _ostore(jnp.where(lane == 0, acc_i, 0.0))
 
-    data_in = pl.BlockSpec((1, n1, t),
+    data_in = pl.BlockSpec((rows, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
     if flat:
@@ -852,12 +877,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             memory_space=pltpu.VMEM)
     elif real:
         data_out = pl.BlockSpec(
-            (1, h, t),
+            (rows, h, t),
             lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
             memory_space=pltpu.VMEM)
     else:
         data_out = pl.BlockSpec(
-            (1, n2, t),
+            (rows, n2, t),
             lambda b_, i: (b_, 0, jnp.maximum(i - ph1, 0)),
             memory_space=pltpu.VMEM)
     # the nyq output advances with the phase-1 column step; every
@@ -865,7 +890,7 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     # writing, so only that already-written tile is revisited and its
     # content is flushed back unchanged — earlier tiles are never
     # touched again
-    nyq_out = pl.BlockSpec((1, 1, t),
+    nyq_out = pl.BlockSpec((rows, 1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
     base = pl.BlockSpec((n1, t), lambda b_, i: (0, 0),
@@ -877,7 +902,7 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     out_specs = [data_out, data_out]
     if real and not flat:
         out_specs += [nyq_out, nyq_out]
-    scratch = [pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2
+    scratch = [pltpu.VMEM((rows, ph1, n1, t), jnp.float32)] * 2
     if flat:
         scratch += [pltpu.VMEM((ph2, h, t), jnp.float32)] * 2
 
@@ -891,8 +916,9 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             shapes += [jax.ShapeDtypeStruct((b, 1, n2), odt)] * 2
         else:
             shapes = [jax.ShapeDtypeStruct((b, n2, n1), odt)] * 2
+        assert b % rows == 0, (b, rows)
         return pl.pallas_call(
-            kern, grid=(b, ph1 + ph2 + ph3),
+            kern, grid=(b // rows, ph1 + ph2 + ph3),
             in_specs=[data_in] * nin + [base, base, col, col]
             + _const_vmem_specs(consts1) + _const_vmem_specs(consts2),
             out_specs=out_specs,
@@ -921,6 +947,16 @@ def _use_phased(n: int, bt: int) -> bool:
     return bt == 1 and n <= _PHASED_MAX_N
 
 
+def _phased_rows(n: int, b: int) -> int:
+    """Batch rows folded per phased grid step. rows=2 measured -2.7%
+    at HIGHEST and -8% at default (8x2^20, exp_batch3.py); rows=4
+    collapses at HIGHEST (scratch squeezes the pipeline's VMEM), so 2
+    is the fold, gated to n <= 2^21 (scratch is rows * 2n * 4 B)."""
+    if b > 1 and b % 2 == 0 and n <= (1 << 21):
+        return 2
+    return 1
+
+
 def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     """Forward unnormalized DFT via the multi-level fused kernels.
     Output ordering matches ``fused_four_step_fft`` / ``_apply_tree``
@@ -944,7 +980,8 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     if io != "float32":
         if _use_phased(n, bt):
             run = _build_phased(n, "float32", interpret,
-                                _kernel_precision(), io=io)
+                                _kernel_precision(), io=io,
+                                rows=_phased_rows(n, b))
             yr, yi = run(b, ar, ai)
             return yr.reshape(*batch, n), yi.reshape(*batch, n)
         yr, yi = fused_multilevel_fft(xr.astype(jnp.float32),
@@ -974,8 +1011,21 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
         # 1.343 grid). benchmarks/exp_batch_scan.py is the measurement
         # record — negative result for the public path, do not retry
         # without a tiled-layout public escape hatch.
-        run = _build_phased(n, str(xr.dtype), interpret,
-                            _kernel_precision())
+        mode = _kernel_precision()
+        if mode == "default" and not interpret:
+            # asymmetric I/O (exp_io_cast.py): the default tier's dots
+            # round operands to bf16 anyway, so bf16 INPUT planes cost
+            # no accuracy; the cast partially fuses into the
+            # flat->tiled input relayout (8x2^20: 95.4 -> 89.6 us/row
+            # public; 2^22 single: 410.7 -> 396.6 us). Output stays f32
+            # (bf16-out + upcast measured SLOWER, 100.8 us/row — the
+            # upcast does not fuse into the output relayout). Interpret
+            # mode (CPU tests) keeps f32 I/O so off-chip parity bounds
+            # are tier-only.
+            ar = ar.astype(jnp.bfloat16)
+            ai = ai.astype(jnp.bfloat16)
+        run = _build_phased(n, str(xr.dtype), interpret, mode,
+                            rows=_phased_rows(n, b))
         yr, yi = run(b, ar, ai)
         return yr.reshape(*batch, n), yi.reshape(*batch, n)
     n1, n2, stage1, _, stage2, _ = _build_ml(n, str(xr.dtype), interpret,
@@ -1012,7 +1062,7 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
                                            interpret)
             return yr.astype(x.dtype), yi.astype(x.dtype)
         run = _build_phased(n, "float32", interpret, _kernel_precision(),
-                            real=True, io=io)
+                            real=True, io=io, rows=_phased_rows(n, b))
         hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))
         # Nyquist epilogue in f32 (bf16 accumulation would round the
         # alternating sum), result rounded back to the io dtype
@@ -1055,9 +1105,15 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         # measured 145.1 vs 138.6 us/row here — stage 1 reads one plane
         # (half the input DMA) and the 4 outputs drain smaller blocks,
         # so the grid already overlaps; negative result, do not retry
-        run = _build_phased(n, str(x.dtype), interpret,
-                            _kernel_precision(), real=True)
-        hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))
+        mode = _kernel_precision()
+        xin = x.reshape(b, n1, n2)
+        if mode == "default" and not interpret:
+            # asymmetric I/O: bf16 input plane at zero tier accuracy
+            # cost, outputs stay f32 (see fused_multilevel_fft)
+            xin = xin.astype(jnp.bfloat16)
+        run = _build_phased(n, str(x.dtype), interpret, mode,
+                            real=True, rows=_phased_rows(n, b))
+        hr, hi, c0r, c0i = run(b, xin)
         c0r = c0r[:, 0, :]                       # (b, n2): C[k1=0, :]
         c0i = c0i[:, 0, :]
     else:
@@ -1202,9 +1258,13 @@ def phased_tiled_fft(ar, ai, interpret: bool = False):
     io = "bfloat16" if str(ar.dtype) == "bfloat16" else "float32"
     if _use_phased(n, bt):
         # constants/tables stay f32; io only switches the HBM plane
-        # dtype (half traffic for bf16 pipelines — see _build_phased)
+        # dtype (half traffic for bf16 pipelines — see _build_phased).
+        # No asymmetric-I/O cast here: pre-tiled operands have no
+        # relayout for the convert to fuse into, so a cast would add a
+        # full pass for the half it saves (net zero).
         run = _build_phased(n, "float32", interpret,
-                            _kernel_precision(), io=io)
+                            _kernel_precision(), io=io,
+                            rows=_phased_rows(n, b))
         return run(b, ar, ai)
     if io != "float32":
         yr, yi = phased_tiled_fft(ar.astype(jnp.float32),

@@ -639,3 +639,49 @@ def test_bf16_engine_fallback_off_tpu(rng):
     from kofft_tpu.ops.rfft import rfft_split
     hr, hi = rfft_split(xb)
     assert hr.dtype == jnp.bfloat16 and hr.shape == (3, n // 2 + 1)
+
+
+def test_phased_rows_fold_parity_interpret(rng):
+    """rows=2 batch fold of the phased grid (exp_batch3.py: -2.7%/-8%
+    per row at highest/default on chip): identical transform for the
+    complex and real variants, and the _phased_rows policy gates."""
+    from kofft_tpu.ops.pallas_kernels import (_build_phased, _phased_rows,
+                                              _pow2_split)
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    b = 4
+    ar = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    ai = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    ref = np.fft.fft((ar + 1j * ai).reshape(b, n).astype(np.complex128))
+    br, bi = _build_phased(n, "float32", True, "highest")(
+        b, jnp.asarray(ar), jnp.asarray(ai))
+    fr, fi = _build_phased(n, "float32", True, "highest", rows=2)(
+        b, jnp.asarray(ar), jnp.asarray(ai))
+    got = (np.asarray(fr, np.float64)
+           + 1j * np.asarray(fi, np.float64)).reshape(b, n)
+    assert snr_db(ref, got) > 100.0
+    # the fold only regroups the grid; per-row math is identical
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(br),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fi), np.asarray(bi),
+                               rtol=1e-6, atol=1e-5)
+    # real variant: one-sided rows + per-row Nyquist tiles
+    x = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    refr = np.fft.rfft(x.reshape(b, n).astype(np.float64))
+    hr, hi, c0r, c0i = _build_phased(n, "float32", True, "highest",
+                                     real=True, rows=2)(b, jnp.asarray(x))
+    signs = np.where(np.arange(n2) % 2 == 0, 1.0, -1.0)
+    nr = (np.asarray(c0r, np.float64)[:, 0, :] * signs).sum(-1)
+    ni = (np.asarray(c0i, np.float64)[:, 0, :] * signs).sum(-1)
+    goth = np.concatenate(
+        [np.asarray(hr, np.float64).reshape(b, n // 2)
+         + 1j * np.asarray(hi, np.float64).reshape(b, n // 2),
+         (nr + 1j * ni)[:, None]], axis=-1)
+    assert snr_db(refr, goth) > 100.0
+    # fold policy: even batches of phased-served sizes fold by 2; odd
+    # batches, single transforms and 2^22+ (scratch = rows * 2n * 4 B)
+    # stay unfolded
+    assert _phased_rows(1 << 20, 8) == 2
+    assert _phased_rows(1 << 20, 1) == 1
+    assert _phased_rows(1 << 20, 7) == 1
+    assert _phased_rows(1 << 22, 8) == 1
