@@ -146,6 +146,34 @@ def _ola_add(y, win: int, hop: int, nf: int):
     return out3.reshape(*y.shape[:-2], chunks * hop)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _synthesis_tier():
+    """ISTFT synthesis dots never run below the 'high' (bf16x3) tier.
+
+    OLA reconstruction converts per-frame dot error straight into
+    signal error: at the 1-pass bf16 `default` tier the roundtrip reads
+    41.6 dB where the forward reads 51.7 (benchmarks/exp_istft_fix.py).
+    The roundtrip ceiling is the hann edge-sample floor (~63 dB at ANY
+    precision — w[0] = 0 is unrecoverable, so sample 0 alone costs
+    10*log10(N) dB on a 2^20 signal), and bf16x3 synthesis reaches that
+    ceiling: 63.6 dB at 0.200 ms vs 41.6 dB at 0.154 ms — +30% time for
+    +22 dB, the TPU form of the reference's full-precision normalize
+    (stft.rs:117-152). Forward STFT keeps the pure tier (51 dB at
+    1-pass). Applies at TRACE time only (lax precision is baked into
+    the jitted program; entries key on trace_key, which is unchanged)."""
+    from ..config import get_config, set_precision
+    prev = get_config().precision
+    if prev == "default":
+        set_precision("high")
+    try:
+        yield
+    finally:
+        set_precision(prev)
+
+
 def _istft_planes(fr, fi, window_np: np.ndarray, hop: int, length: int,
                   backend: str):
     """frame spectra planes (..., F, win) -> real signal (..., length)."""
@@ -153,7 +181,8 @@ def _istft_planes(fr, fi, window_np: np.ndarray, hop: int, length: int,
     nf = fr.shape[-2]
     dtype = str(fr.dtype)
     # engine inverse is unnormalized (win * ifft)
-    tr, _ = engine_fft_planes(fr, fi, win, True, dtype, backend)
+    with _synthesis_tier():
+        tr, _ = engine_fft_planes(fr, fi, win, True, dtype, backend)
     y = (tr / win) * window_np                       # (..., F, win)
     out = _ola_add(y, win, hop, nf)
     if out.shape[-1] < length:
@@ -319,8 +348,9 @@ def inverse_frame_split(fr, fi, window, backend: Optional[str] = None):
     w = _window_const(window)
     win = w.shape[0]
     b = _resolve_planes_backend(backend)
-    tr, _ = _fft_planes(jnp.asarray(fr), jnp.asarray(fi), win, True, b,
-                        str(jnp.asarray(fr).dtype))
+    with _synthesis_tier():
+        tr, _ = _fft_planes(jnp.asarray(fr), jnp.asarray(fi), win, True, b,
+                            str(jnp.asarray(fr).dtype))
     return (tr / win) * w
 
 
@@ -575,7 +605,8 @@ def istft_stream_scan(fr, fi, window, hop: int,
 
     def step(carry, f):
         buf, norm = carry
-        tr, _ = _fft_planes(f[0], f[1], win, True, b, dtype)
+        with _synthesis_tier():
+            tr, _ = _fft_planes(f[0], f[1], win, True, b, dtype)
         y = (tr / win) * w
         buf = buf + y
         norm = norm + (w * w)
@@ -623,7 +654,8 @@ class IstftStream:
         b = self._backend
 
         def step(buf, norm, fr, fi):
-            tr, _ = _fft_planes(fr, fi, win_len, True, b, "float32")
+            with _synthesis_tier():
+                tr, _ = _fft_planes(fr, fi, win_len, True, b, "float32")
             y = (tr / win_len) * w
             buf = buf + y
             norm = norm + (w * w)

@@ -374,3 +374,28 @@ def test_istft_stream_flush_edge_cases():
     assert s.flush().shape == (0,)
     s2 = S.IstftStream(8, 4, w)
     assert s2.flush().shape == (0,)                  # nothing pushed yet
+
+
+def test_istft_synthesis_tier_floor():
+    """ISTFT synthesis dots never run below the 'high' tier: the
+    context manager promotes 'default' during tracing and restores it;
+    other tiers pass through; trace_key (the jit cache key) is taken
+    OUTSIDE the context so entries stay keyed on the public tier."""
+    from kofft_tpu.config import get_config, set_precision, trace_key
+    from kofft_tpu.ops.stft import _synthesis_tier
+
+    set_precision("default")
+    try:
+        key_before = trace_key()
+        with _synthesis_tier():
+            assert get_config().precision == "high"
+        assert get_config().precision == "default"
+        assert trace_key() == key_before
+    finally:
+        set_precision(None)
+    set_precision("highest")
+    try:
+        with _synthesis_tier():
+            assert get_config().precision == "highest"
+    finally:
+        set_precision(None)
