@@ -7,4 +7,5 @@ ops_per_sec, ...} with previous-run deltas, plus chip/topology fields.
 """
 
 from .harness import (timeit_chained, timeit_chained_scalar, BenchRecord,
-                      last_measurement_mode, run_history)  # noqa: F401
+                      last_measurement_mode, run_history,
+                      SNR_POLICY_DB, check_snr_policy)  # noqa: F401

@@ -398,3 +398,25 @@ def test_read_via_ffmpeg_fake_decoder(tmp_path, monkeypatch):
     assert sr == 44100                            # forced resample rate
     assert any("-ar" in c for c in calls)
     assert np.allclose(data, samples)
+
+
+def test_snr_tier_policy_check():
+    """check_snr_policy: rows clearing their tier floor pass, a
+    below-floor row fails the bench run loudly, unannotated and
+    unpoliced rows are ignored (ARCHITECTURE §1c)."""
+    import pytest
+
+    from kofft_tpu.bench import BenchRecord, SNR_POLICY_DB, check_snr_policy
+
+    ok = BenchRecord("kofft_tpu", "complex", 1 << 20, "single_fast",
+                     1.0, 1.0, "tpu", snr_db=44.1)
+    unannotated = BenchRecord("kofft_tpu", "complex", 1 << 20, "single",
+                              1.0, 1.0, "tpu")
+    unpoliced = BenchRecord("kofft_tpu", "bluestein", 4099, "single",
+                            1.0, 1.0, "tpu", snr_db=10.0)
+    check_snr_policy([ok, unannotated, unpoliced])
+    floor = SNR_POLICY_DB[("istft_frames", "single_fast")]
+    bad = BenchRecord("kofft_tpu", "istft_frames", 4096, "single_fast",
+                      1.0, 1.0, "tpu", snr_db=floor - 5.0)
+    with pytest.raises(AssertionError, match="istft_frames"):
+        check_snr_policy([ok, bad])
