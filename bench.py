@@ -101,6 +101,30 @@ def main() -> None:
                                t22 * 1e9, 1.0 / t22, platform))
     log(f"c32 FFT 2^22: {t22 * 1e3:.3f} ms ({n22 / t22 / 1e9:.3f} Gpts/s)")
 
+    # above the one-call scratch ceiling (VERDICT r3 next #2): 2^23 and
+    # 2^24 ride the two-call pair at `highest` (leaf-128 lines,
+    # exp_leaf.py) — both must beat jnp.fft, which took the lead at
+    # 2^22-2^23 before the leaf-128 change (733 vs 838, 1831 vs 2128;
+    # exp_ceiling.py). jnp rows are recorded as competitors.
+    big_ops = {}
+    for p2 in (23, 24):
+        nb = 1 << p2
+        br_ = jnp.asarray(rng.standard_normal(nb).astype(np.float32))
+        bi_ = jnp.asarray(rng.standard_normal(nb).astype(np.float32))
+        tbig = timeit_chained(
+            lambda q: tuple(a * 1e-3 for a in kt.fft_split(q[0], q[1])),
+            (br_, bi_), iters=20)
+        records.append(BenchRecord("kofft_tpu", "complex", nb, "single",
+                                   tbig * 1e9, 1.0 / tbig, platform))
+        tbigj = timeit_chained(
+            lambda q: tuple(a * 1e-3 for a in jnpfft_planes(q)),
+            (br_, bi_), iters=20)
+        records.append(BenchRecord("jnpfft", "complex", nb, "single",
+                                   tbigj * 1e9, 1.0 / tbigj, platform))
+        big_ops[p2] = (br_, bi_)
+        log(f"c32 FFT 2^{p2}: {tbig * 1e3:.3f} ms "
+            f"({nb / tbig / 1e9:.3f} Gpts/s; jnp {tbigj * 1e3:.3f} ms)")
+
     # batched throughput row (the production-serving shape)
     bt = 8
     xrb = jnp.asarray(rng.standard_normal((bt, n)).astype(np.float32))
@@ -194,10 +218,18 @@ def main() -> None:
     log(f"fft2 1024^2: {t2d * 1e6:.1f} us (jnp {t2dj * 1e6:.1f} us); "
         f"default tier {t2df * 1e6:.1f} us ({s2:.1f} dB)")
 
-    # 2048^2 rides the phased 2-D kernel only on the HBM-bound 1-pass
-    # tier (the 6-pass tiers lose to XLA fftn above 2^20/image)
+    # 2048^2: the 1-pass default tier rides the one-call phased 2-D
+    # kernel; `highest` rides the two-call pair since r4 (leaf-128
+    # re-probe, benchmarks/exp_2dcap.out: two-call 547.1 us vs one-call
+    # 618.4 vs jnp 653.6 — before leaf-128 the 6-pass tiers lost to XLA
+    # fftn above 2^20/image and this size had no highest row)
     x2r = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
     x2i = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
+    t4h = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x2r, x2i),
+                         iters=50)
+    records.append(BenchRecord("kofft_tpu", "fft2d", 2048 ** 2, "single",
+                               t4h * 1e9, 1.0 / t4h, platform))
+    log(f"fft2 2048^2: {t4h * 1e6:.1f} us")
     try:
         set_precision("default")
         t4f = timeit_chained(lambda q: fftn_split(q[0], q[1]),
@@ -216,6 +248,68 @@ def main() -> None:
                                t4j * 1e9, 1.0 / t4j, platform))
     log(f"fft2 2048^2 default tier: {t4f * 1e6:.1f} us ({s4:.1f} dB; "
         f"jnp {t4j * 1e6:.1f} us)")
+
+    # 4096^2 (2^24 points): beyond the one-call kernel's VMEM scratch —
+    # the two-call pair (fused_2d_big_zone), both tiers (VERDICT r3
+    # weak #5: this size class was unrouted and unmeasured)
+    x2r = jnp.asarray(rng.standard_normal((4096, 4096)).astype(np.float32))
+    x2i = jnp.asarray(rng.standard_normal((4096, 4096)).astype(np.float32))
+    t5 = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x2r, x2i),
+                        iters=20)
+    records.append(BenchRecord("kofft_tpu", "fft2d", 4096 ** 2, "single",
+                               t5 * 1e9, 1.0 / t5, platform))
+    try:
+        set_precision("default")
+        t5f = timeit_chained(lambda q: fftn_split(q[0], q[1]),
+                             (x2r, x2i), iters=20)
+        yr5, yi5 = fftn_split(x2r, x2i)
+        # f64 oracle on a 16M-point image is slow on host; SNR vs the
+        # c128 numpy transform of the same input (ample headroom over
+        # the ~44 dB tier floor)
+        ref5 = np.fft.fftn(np.asarray(x2r).astype(np.complex128)
+                           + 1j * np.asarray(x2i))
+        s5 = float(snr_db(ref5, np.asarray(yr5, np.float64)
+                          + 1j * np.asarray(yi5, np.float64)))
+        records.append(BenchRecord("kofft_tpu", "fft2d", 4096 ** 2,
+                                   "single_fast", t5f * 1e9, 1.0 / t5f,
+                                   platform, snr_db=s5))
+    finally:
+        set_precision(None)
+    t5j = timeit_chained(jfftn, (x2r, x2i), iters=20)
+    records.append(BenchRecord("jnpfft", "fft2d", 4096 ** 2, "single",
+                               t5j * 1e9, 1.0 / t5j, platform))
+    log(f"fft2 4096^2: {t5 * 1e6:.1f} us; default tier {t5f * 1e6:.1f} us "
+        f"({s5:.1f} dB; jnp {t5j * 1e6:.1f} us)")
+
+    # 256^3: the second beyond-VMEM class (per-axis engine at `highest`
+    # — measured parity with jnp.fftn, 3544 vs 3492; the `default` tier
+    # wins 1.47x — benchmarks/exp_2d_big.py holds the candidate sweep:
+    # fused-2D+einsum loses at both tiers, small per-image blocks)
+    x6r = jnp.asarray(rng.standard_normal((256, 256, 256)).astype(np.float32))
+    x6i = jnp.asarray(rng.standard_normal((256, 256, 256)).astype(np.float32))
+    t6 = timeit_chained(lambda q: fftn_split(q[0], q[1]), (x6r, x6i),
+                        iters=20)
+    records.append(BenchRecord("kofft_tpu", "fft3d", 256 ** 3, "single",
+                               t6 * 1e9, 1.0 / t6, platform))
+    try:
+        set_precision("default")
+        t6f = timeit_chained(lambda q: fftn_split(q[0], q[1]),
+                             (x6r, x6i), iters=20)
+        yr6, yi6 = fftn_split(x6r, x6i)
+        ref6 = np.fft.fftn(np.asarray(x6r).astype(np.complex128)
+                           + 1j * np.asarray(x6i))
+        s6c = float(snr_db(ref6, np.asarray(yr6, np.float64)
+                           + 1j * np.asarray(yi6, np.float64)))
+        records.append(BenchRecord("kofft_tpu", "fft3d", 256 ** 3,
+                                   "single_fast", t6f * 1e9, 1.0 / t6f,
+                                   platform, snr_db=s6c))
+    finally:
+        set_precision(None)
+    t6j = timeit_chained(jfftn, (x6r, x6i), iters=20)
+    records.append(BenchRecord("jnpfft", "fft3d", 256 ** 3, "single",
+                               t6j * 1e9, 1.0 / t6j, platform))
+    log(f"fft3 256^3: {t6 * 1e6:.1f} us; default tier {t6f * 1e6:.1f} us "
+        f"({s6c:.1f} dB; jnp {t6j * 1e6:.1f} us)")
 
     # ---- real FFT 2^20. Ping-pong chain (outputs rebuilt into the next
     # real input via one ~1 us concat) so the row is methodology-matched
@@ -336,6 +430,27 @@ def main() -> None:
                                    platform, snr_db=s22))
         log(f"2^22 default tier: {td22 * 1e6:.1f} us = "
             f"{n22 / td22 / 1e9:.2f} Gpts/s ({s22:.1f} dB)")
+        # 2^23 rides the one-call phased kernel on THIS tier only
+        # (_PHASED_MAX_N_DEFAULT: HBM-bound 1-pass wins, 625 us vs the
+        # two-call 861); 2^24 is the two-call pair at leaf-128
+        for p2 in (23, 24):
+            nb = 1 << p2
+            br_, bi_ = big_ops[p2]
+            tdb_ = timeit_chained(
+                lambda q: tuple(a * 1e-3
+                                for a in kt.fft_split(q[0], q[1])),
+                (br_, bi_), iters=20)
+            dbr, dbi = kt.fft_split(br_, bi_)
+            sb_ = float(snr_db(
+                np.fft.fft(np.asarray(br_).astype(np.complex128)
+                           + 1j * np.asarray(bi_)),
+                np.asarray(dbr, np.float64)
+                + 1j * np.asarray(dbi, np.float64)))
+            records.append(BenchRecord("kofft_tpu", "complex", nb,
+                                       "single_fast", tdb_ * 1e9,
+                                       1.0 / tdb_, platform, snr_db=sb_))
+            log(f"2^{p2} default tier: {tdb_ * 1e6:.1f} us = "
+                f"{nb / tdb_ / 1e9:.2f} Gpts/s ({sb_:.1f} dB)")
         # large-odd smooth class on the throughput tier (the d2 dense
         # no-transpose route, VERDICT r3 missing #1)
         n6 = 10 ** 6

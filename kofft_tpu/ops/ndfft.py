@@ -141,6 +141,13 @@ def _fftn_planes(xr, xi, axes: tuple, inverse: bool, backend: str):
             if PK.fused_2d_zone(xr.shape, axes):
                 yr, yi = pallas_fft2_planes(xr, xi, inverse)
                 return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
+            if PK.fused_2d_big_zone(xr.shape, axes):
+                # beyond-VMEM images (4096^2-class): the two-call pair
+                # at two HBM round-trips beats both jnp.fftn and the
+                # per-axis engine route (benchmarks/exp_2d_big.py)
+                from .pallas_fft import pallas_fft2_big_planes
+                yr, yi = pallas_fft2_big_planes(xr, xi, inverse)
+                return _inverse_rescale(yr, yi, xr.shape, axes, inverse)
             if PK.fused_nd_zone(xr.shape, axes):
                 yr, yi = pallas_fftn_planes(xr, xi, inverse)
                 return _inverse_rescale(yr, yi, xr.shape, axes, inverse)

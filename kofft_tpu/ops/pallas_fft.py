@@ -261,6 +261,67 @@ def pallas_fft2_planes(xr, xi, inverse: bool = False):
     return _dft2_p.bind(xr, xi, inverse=bool(inverse))
 
 
+_dft2big_p = _jex.core.Primitive("kofft_pallas_dft2big")
+_dft2big_p.multiple_results = True
+
+
+def _dft2big_eval(xr, xi, *, inverse):
+    from .pallas_kernels import fused_fft2_big_planes
+    return fused_fft2_big_planes(xr, xi, inverse)
+
+
+_dft2big_p.def_impl(_dft2big_eval)
+_dft2big_p.def_abstract_eval(
+    lambda xr, xi, *, inverse: (xr.update(), xi.update()))
+_mlir.register_lowering(
+    _dft2big_p, _mlir.lower_fun(_dft2big_eval, multiple_results=True))
+
+
+def _dft2big_jvp(primals, tangents, *, inverse):
+    out = _dft2big_p.bind(*primals, inverse=inverse)
+    tr = _inst(tangents[0], primals[0])
+    ti = _inst(tangents[1], primals[1])
+    return out, _dft2big_p.bind(tr, ti, inverse=inverse)
+
+
+_ad.primitive_jvps[_dft2big_p] = _dft2big_jvp
+
+
+def _dft2big_transpose(ct, xr, xi, *, inverse):
+    # same symmetric-DFT-matrix argument as _dft2_transpose
+    like = xr.aval if _ad.is_undefined_primal(xr) else xr
+    ctr = _inst(ct[0], like)
+    cti = _inst(ct[1], like)
+    return _dft2big_p.bind(ctr, cti, inverse=not inverse)
+
+
+_ad.primitive_transposes[_dft2big_p] = _dft2big_transpose
+
+
+def _dft2big_batch(args, dims, *, inverse):
+    moved = [a if d is _batching.not_mapped else _jnp.moveaxis(a, d, 0)
+             for a, d in zip(args, dims)]
+    bdim = next(a.shape[0] for a, d in zip(moved, dims)
+                if d is not _batching.not_mapped)
+    moved = [a if d is not _batching.not_mapped
+             else _jnp.broadcast_to(a, (bdim, *a.shape))
+             for a, d in zip(moved, dims)]
+    outs = _dft2big_p.bind(*moved, inverse=inverse)
+    return outs, (0, 0)
+
+
+_batching.primitive_batchers[_dft2big_p] = _dft2big_batch
+
+
+def pallas_fft2_big_planes(xr, xi, inverse: bool = False):
+    """Unnormalized 2-D DFT over the last two dims via the two-call
+    beyond-VMEM pair (``pallas_kernels.fused_fft2_big_planes``), as a
+    linear primitive (jvp/grad/vmap supported — the per-axis routes
+    this zone displaces are differentiable, so it must stay so; the
+    same contract the one-call 2-D zone pins)."""
+    return _dft2big_p.bind(xr, xi, inverse=bool(inverse))
+
+
 _dftn_p = _jex.core.Primitive("kofft_pallas_dftn")
 _dftn_p.multiple_results = True
 

@@ -277,7 +277,19 @@ def fused_four_step_fft(xr, xi, n: int, interpret: bool = False):
 # against the XLA tree's ~6+ materialized twiddle/transpose passes.
 # ===========================================================================
 
-_ML_LEAF = 32     # leaf DFT size (4 KB constant matrices in-kernel)
+# Leaf DFT size: the line recursion bottoms out at a dense (m, m)
+# DFT-matrix dot once m <= _ML_LEAF. 128 (one full MXU contraction,
+# 128 KB constant pair in VMEM) — raised from 32 in r4: the dot cost is
+# operand-STREAMING-bound, not MAC-bound (kron-lift negative, r1/r2), so
+# what matters is the LEVEL COUNT per line, and larger natural leaves
+# remove whole twiddle+swap+dot passes. Lines <= 1024 decompose
+# identically at 32 and 128 (1024 -> (32, 32)); the change bites at
+# 2048 lines ([32, 8, 8] -> [32, 64]: 2^22 phased 759 -> 578 us
+# HIGHEST, 367 -> 289 default), 4096 ([4 levels] -> [64, 64]) and 8192
+# ([8, 8, 8, 16] -> [64, 128]: 2^24 two-call 3973 -> 2915 us HIGHEST,
+# 2566 -> 1751 default, vs jnp.fft 3791). benchmarks/exp_leaf.py is
+# the sweep record (leaf 64 ties 128 at 2^22, loses at 2^24).
+_ML_LEAF = 128
 _ML_TILE = 128    # lines per grid step (1 MB data blocks)
 
 
@@ -669,6 +681,13 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
 # composed behind the custom-call boundary even though it fuses to ~1 us
 # in isolation (benchmarks/exp_rfft_public.py is the decomposition).
 _PHASED_MAX_N = 1 << 22
+# The 1-pass `default` tier is HBM-bound, so the one-call kernel keeps
+# winning one octave further up despite its 64 MB VMEM C-scratch
+# (2^23 phased 625 us vs two-call 861, leaf-128); the 6-pass tiers go
+# VMEM-pressure-bound there and LOSE to the two-call pair (2097 vs
+# 1373) — same per-tier-cap shape as fused_2d_zone. Record:
+# benchmarks/exp_p23.out probe + exp_ceiling.py/exp_leaf.py.
+_PHASED_MAX_N_DEFAULT = 1 << 23
 # complex flat mode stashes the FULL spectrum in the second scratch
 # (2 extra planes: 2n*4 B on top of C's 2n*4 B) — capped one octave
 # below the phased ceiling; the real flat variant stashes only the
@@ -869,11 +888,23 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                            memory_space=pltpu.VMEM)
     if flat:
         # RANK-1 flat output (sublane-dense; see docstring):
-        # phase-3 step p writes block p; earlier steps revisit block 0
-        # unwritten (kept in VMEM, flushed once written — the same
-        # revisited-block pattern as data_out below)
+        # phase-3 step p of batch row b_ writes block b_*ph3 + p; earlier
+        # steps revisit the row's first block unwritten (kept in VMEM,
+        # flushed once written — the same revisited-block pattern as
+        # data_out below). Batched complex flat (r4): the output stays a
+        # single rank-1 (b*n,) plane so every block keeps the
+        # sublane-dense 1-D layout — the row index folds into the block
+        # index instead of adding a rank (a (b, w) rank-2 block would put
+        # each block on one sublane, the +55 us layout this mode exists
+        # to avoid); the caller reshapes (b*n,) -> (b, n) for free
+        # (row-major contiguous). MEASURED NEGATIVE for routing at
+        # 8x2^20 (exp_batch_flat.py): 429 us/row HIGHEST / 358 default
+        # vs the tiled grid's 165.7/83.6 — the revisited-block pattern
+        # that costs nothing at b=1 re-DMAs across the batch grid axis.
+        # Capability + parity test kept; not routed.
         data_out = pl.BlockSpec(
-            (w,), lambda b_, i: (jnp.maximum(i - ph1 - ph2, 0),),
+            (w,),
+            lambda b_, i: (b_ * ph3 + jnp.maximum(i - ph1 - ph2, 0),),
             memory_space=pltpu.VMEM)
     elif real:
         data_out = pl.BlockSpec(
@@ -909,8 +940,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     def run(b, ar, ai=None):
         args = (ar,) if real else (ar, ai)
         if flat:
-            assert b == 1, "flat phased kernels serve single transforms"
-            shapes = [jax.ShapeDtypeStruct((m_flat,), odt)] * 2
+            # real flat has a partial tail block (m_flat = n//2 + 1 does
+            # not tile to ph3*w), so its padding only lines up at b == 1;
+            # complex flat tiles exactly and batches (r4)
+            assert b == 1 or not real, "flat rfft kernels are single-row"
+            shapes = [jax.ShapeDtypeStruct(
+                (m_flat if b == 1 else b * n,), odt)] * 2
         elif real:
             shapes = [jax.ShapeDtypeStruct((b, h, n1), odt)] * 2
             shapes += [jax.ShapeDtypeStruct((b, 1, n2), odt)] * 2
@@ -942,9 +977,14 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
 
 def _use_phased(n: int, bt: int) -> bool:
     """The phased one-call kernel serves bt == 1 shapes up to the VMEM
-    scratch ceiling; batch-folded small shapes and 2^23+ stay on the
-    two-call kernels."""
-    return bt == 1 and n <= _PHASED_MAX_N
+    scratch ceiling — PER TIER: 2^22 on the 6-pass tiers, 2^23 on the
+    HBM-bound 1-pass `default` tier (see _PHASED_MAX_N_DEFAULT). Batch-
+    folded small shapes and sizes above the cap stay on the two-call
+    kernels. Tier changes retrace safely: every jitted entry keys on
+    ``config.trace_key()``, which carries the precision."""
+    cap = (_PHASED_MAX_N_DEFAULT if _kernel_precision() == "default"
+           else _PHASED_MAX_N)
+    return bt == 1 and n <= cap
 
 
 def _phased_rows(n: int, b: int) -> int:
@@ -1306,8 +1346,13 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
     passes (r2 isolation: bf16x3 gains nothing), so it caps with it.
     The 1-pass ``default`` tier is HBM-bound and keeps winning through
     2^22 (1024x2048: 152 vs 320, 2.1x; 2048^2: 396.6 vs 651.7, 1.64x).
-    Tier changes retrace safely — every jitted entry keys on
-    ``config.trace_key()``, which carries the precision."""
+    Above each tier's cap the TWO-call pair takes over
+    (``fused_2d_big_zone``) — since the r4 leaf-128 change it beats
+    both this kernel and XLA fftn at 2^21-2^22/image on the 6-pass
+    tiers (1024x2048: 271.1 vs 282.8 vs 319.4; 2048^2: 547.1 vs 618.4
+    vs 653.6 — benchmarks/exp_2dcap.out). Tier changes retrace safely —
+    every jitted entry keys on ``config.trace_key()``, which carries
+    the precision."""
     nd = len(shape)
     if nd < 2 or len(axes) != 2:
         return False
@@ -1413,6 +1458,112 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
           *[jnp.asarray(c) for c in consts2])
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fft2_big(n1: int, n2: int, dtype: str = "float32",
+                    interpret: bool = False, mode: str = "highest"):
+    """TWO-call 2-D FFT pair for images beyond the one-call kernel's
+    VMEM scratch (4096^2 = 2^24 points needs a 128 MB C-plane; the
+    one-call `_build_fft2` caps at 2048^2 on the 1-pass tier). Stage A
+    runs the length-n1 column FFTs in (n1, t) tiles; the (b, n1, n2)
+    intermediate materializes once in HBM; stage B runs the length-n2
+    row FFTs on (t, n2) line blocks and emits UNtransposed — natural
+    image order, no twiddle anywhere (2-D = Bailey decomposition minus
+    the inter-stage twiddle, exactly as `_build_fft2`). This is the
+    size-unbounded N-D contract of the reference's strided line loops
+    (/root/reference/src/ndfft.rs:114-153) at two HBM round-trips.
+    Returns run(b, ar, ai) -> (yr, yi) on (b, n1, n2) planes."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n1 % _ML_TILE == 0 and n2 % _ML_TILE == 0, (n1, n2)
+    t = _ML_TILE
+    keys1 = _ml_const_keys(n1)
+    keys2 = _ml_const_keys(n2)
+    consts1 = _ml_const_arrays(keys1, dtype)
+    consts2 = _ml_const_arrays(keys2, dtype)
+    kw = {} if interpret else {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+    def sa_kern(ar, ai, *crefs):
+        crs, (cr, ci) = crefs[:-2], crefs[-2:]
+        cd = _unpack_consts(keys1, crs)
+        yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd, mode)
+        cr[0] = yr
+        ci[0] = yi
+
+    def sb_kern(cr, ci, *crefs):
+        crs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
+        cd = _unpack_consts(keys2, crs)
+        zr, zi = _fft_axis0_traced(cr[0].T, ci[0].T, n2, cd, mode)
+        xr_o[0] = zr.T
+        xi_o[0] = zi.T
+
+    def run(b, ar, ai):
+        col = pl.BlockSpec((1, n1, t), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+        row = pl.BlockSpec((1, t, n2), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+        cr, ci = pl.pallas_call(
+            sa_kern, grid=(b, n2 // t),
+            in_specs=[col, col] + _const_vmem_specs(consts1),
+            out_specs=[col, col],
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            interpret=interpret, **kw,
+        )(ar, ai, *[jnp.asarray(c) for c in consts1])
+        return pl.pallas_call(
+            sb_kern, grid=(b, n1 // t),
+            in_specs=[row, row] + _const_vmem_specs(consts2),
+            out_specs=[row, row],
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            interpret=interpret, **kw,
+        )(cr, ci, *[jnp.asarray(c) for c in consts2])
+
+    return run
+
+
+def fused_fft2_big_planes(xr, xi, inverse: bool = False,
+                          interpret: bool = False):
+    """2-D DFT over the last two dims via the two-call beyond-VMEM
+    pair (zone-gated by ``fused_2d_big_zone``); leading dims fold into
+    the batch grid. Inverse is UNNORMALIZED (caller scales)."""
+    n1, n2 = xr.shape[-2], xr.shape[-1]
+    batch = xr.shape[:-2]
+    b = 1
+    for s in batch:
+        b *= s
+    run = _build_fft2_big(n1, n2, "float32", interpret,
+                          _kernel_precision())
+    ar = xr.reshape(b, n1, n2)
+    ai = xi.reshape(b, n1, n2)
+    if inverse:
+        yr, yi = run(b, ar, -ai)
+        return yr.reshape(xr.shape), -yi.reshape(xr.shape)
+    yr, yi = run(b, ar, ai)
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+def fused_2d_big_zone(shape: tuple, axes: tuple) -> bool:
+    """True when the two-call pair serves this transform: last two dims
+    transformed, both pow2 in [128, 8192], per-image points ABOVE the
+    one-call zone's per-tier cap (the one-call kernel wins everywhere
+    it fits) up to 2^26. Measured v5e at 4096^2, leaf-128 lines
+    (benchmarks/exp_2d_big.py): two-call 2198 us `highest` / 995
+    `default` vs jnp.fftn 4436 — 2.0x / 4.5x."""
+    nd = len(shape)
+    if nd < 2 or len(axes) != 2:
+        return False
+    if sorted(a % nd for a in axes) != [nd - 2, nd - 1]:
+        return False
+    n1, n2 = shape[-2], shape[-1]
+    for s in (n1, n2):
+        if s & (s - 1) or not (128 <= s <= 8192):
+            return False
+    lo = _FUSED_2D_MAX_POINTS if _kernel_precision() == "default" \
+        else (1 << 20)
+    return lo < n1 * n2 <= (1 << 26)
 
 
 def fused_fft2_planes(xr, xi, inverse: bool = False,

@@ -386,3 +386,113 @@ def test_rfftn_complex_input_rejected(rng):
         kt.rfftn(z_dev)
     with pytest.raises(InvalidValueError):
         kt.rfftn_split(z_dev)
+
+
+def test_fused_2d_big_zone_logic():
+    """Zone map for the beyond-VMEM two-call 2-D pair (r4): last two
+    dims, pow2 dims in [128, 8192], per-image points ABOVE the one-call
+    zone's per-tier cap up to 2^26 — the two zones tile the 2-D range
+    without overlap at every tier."""
+    from kofft_tpu.config import set_precision
+    from kofft_tpu.ops.pallas_kernels import (fused_2d_big_zone as big,
+                                              fused_2d_zone as small)
+    assert big((4096, 4096), (0, 1))
+    assert big((2048, 2048), (0, 1))         # above the 2^20 highest cap
+    assert big((4096, 4096), (-2, -1))
+    assert big((2, 2048, 4096), (1, 2))      # batched leading dim
+    assert not big((1024, 1024), (0, 1))     # one-call zone owns it
+    assert big((8192, 8192), (0, 1))         # 2^26: the zone ceiling
+    assert not big((16384, 16384), (0, 1))   # above the dim cap
+    assert not big((4096, 4000), (0, 1))     # non-pow2
+    assert not big((64, 1 << 20), (0, 1))    # dim below 128
+    assert not big((4096, 4096), (0,))       # one axis
+    # no overlap and no gap against the one-call zone at either tier
+    for prec in (None, "default"):
+        try:
+            set_precision(prec)
+            for shape in [(1024, 1024), (1024, 2048), (2048, 2048),
+                          (2048, 4096), (4096, 4096)]:
+                s = small(shape, (0, 1))
+                b = big(shape, (0, 1))
+                assert not (s and b), (shape, prec)
+                assert s or b, (shape, prec)
+        finally:
+            set_precision(None)
+
+
+def test_fused_2d_big_pair_parity(rng):
+    """The two-call beyond-VMEM pair matches numpy (forward, inverse
+    via conjugation, batched fold) in interpret mode — direct kernel
+    parity below the zone floor, where interpret is affordable."""
+    import jax.numpy as jnp
+
+    from kofft_tpu.ops.pallas_kernels import fused_fft2_big_planes
+    for shape in [(256, 128), (2, 128, 256)]:
+        xr = rng.standard_normal(shape).astype(np.float32)
+        xi = rng.standard_normal(shape).astype(np.float32)
+        yr, yi = fused_fft2_big_planes(jnp.asarray(xr), jnp.asarray(xi),
+                                       interpret=True)
+        ref = np.fft.fftn(xr.astype(np.float64)
+                          + 1j * xi.astype(np.float64), axes=(-2, -1))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+        # unnormalized inverse via the conjugation identity
+        br, bi = fused_fft2_big_planes(np.asarray(yr), np.asarray(yi),
+                                       inverse=True, interpret=True)
+        n = shape[-1] * shape[-2]
+        assert snr_db(xr.astype(np.float64) + 1j * xi.astype(np.float64),
+                      (np.asarray(br) + 1j * np.asarray(bi)) / n) > 100.0
+
+
+def test_fused_2d_big_route_and_grad(rng, monkeypatch):
+    """Routing + differentiability of the big-2D zone on CPU: the zone
+    floor is relaxed so a small image routes through the
+    kofft_pallas_dft2big linear primitive in interpret mode; grad
+    matches the Parseval oracle d/dx sum|Fx|^2 = 2*n*x (the per-axis
+    routes this zone displaces are differentiable — the ADVICE r3
+    contract for every new kernel route)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kofft_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(ndfft, "_platform_default", lambda: "pallas")
+    import kofft_tpu.ops.pallas_fft as PF
+    monkeypatch.setattr(PF, "pallas_supported", lambda n, d: True)
+    real = PK.fused_fft2_big_planes
+    monkeypatch.setattr(
+        PK, "fused_fft2_big_planes",
+        lambda xr, xi, inverse=False: real(xr, xi, inverse, interpret=True))
+    # shrink the zone so (512, 256) rides the big pair on CPU: one-call
+    # zone off, big zone floor down
+    monkeypatch.setattr(PK, "fused_2d_zone", lambda shape, axes: False)
+    real_zone = PK.fused_2d_big_zone
+    monkeypatch.setattr(
+        PK, "fused_2d_big_zone",
+        lambda shape, axes: (len(shape) >= 2 and len(axes) == 2
+                             and shape[-1] * shape[-2] >= (1 << 17)))
+
+    shape = (512, 256)
+    n = shape[0] * shape[1]
+    xr = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    try:
+        yr, yi = ndfft.fftn_split(xr, xi, axes=(-2, -1))
+        ref = np.fft.fftn(np.asarray(xr, np.float64)
+                          + 1j * np.asarray(xi, np.float64), axes=(-2, -1))
+        assert snr_db(ref, np.asarray(yr) + 1j * np.asarray(yi)) > 100.0
+
+        def loss(ar, ai):
+            zr, zi = ndfft._fftn_planes(ar, ai, (0, 1), False, "auto")
+            return jnp.sum(zr * zr + zi * zi)
+
+        gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+        assert snr_db(2.0 * n * np.asarray(xr, np.float64),
+                      np.asarray(gr)) > 100.0
+        assert snr_db(2.0 * n * np.asarray(xi, np.float64),
+                      np.asarray(gi)) > 100.0
+        _, tang = jax.jvp(loss, (xr, xi), (jnp.ones_like(xr),
+                                           jnp.zeros_like(xi)))
+        assert np.isfinite(float(tang))
+    finally:
+        ndfft._jit_fftn.cache_clear()
+    assert real_zone((4096, 4096), (0, 1))

@@ -410,6 +410,32 @@ def test_phased_flat_complex_rank1_parity(rng):
     assert snr_db(got, np.asarray(yr2)[0] + 1j * np.asarray(yi2)[0]) > 120.0
 
 
+def test_phased_flat_complex_batched_parity(rng):
+    """Batched complex flat mode (r4): the rank-1 (b*n,) phase-3 output
+    with block index b_*ph3 + p matches numpy per row and the b == 1
+    flat form bit-for-bit on row 0. This is the kernel form that closes
+    the batched-vs-single per-row gap (VERDICT r3 next #1): every
+    output block keeps the sublane-dense 1-D layout."""
+    from kofft_tpu.ops.pallas_kernels import _build_phased, _pow2_split
+    n = 1 << 14
+    b = 4
+    n1, n2 = _pow2_split(n)
+    xr = rng.standard_normal((b, n)).astype(np.float32)
+    xi = rng.standard_normal((b, n)).astype(np.float32)
+    run = _build_phased(n, "float32", True, "highest", flat=True)
+    yr, yi = run(b, jnp.asarray(xr.reshape(b, n1, n2)),
+                 jnp.asarray(xi.reshape(b, n1, n2)))
+    assert np.asarray(yr).shape == (b * n,)
+    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(b, n)
+    ref = np.fft.fft(xr.astype(np.complex128) + 1j * xi, axis=-1)
+    for r in range(b):
+        assert snr_db(ref[r], got[r]) > 120.0
+    y1r, y1i = run(1, jnp.asarray(xr[:1].reshape(1, n1, n2)),
+                   jnp.asarray(xi[:1].reshape(1, n1, n2)))
+    np.testing.assert_array_equal(np.asarray(y1r), np.asarray(yr)[:n])
+    np.testing.assert_array_equal(np.asarray(y1i), np.asarray(yi)[:n])
+
+
 def test_smooth_split_and_parity(rng):
     """Smooth odd*2^k sizes ride the phased kernel (r3): the odd factor
     lives in n1 and the in-kernel recursion bottoms at odd*2^c <= 32 DFT
