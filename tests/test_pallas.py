@@ -711,3 +711,55 @@ def test_phased_rows_fold_parity_interpret(rng):
     assert _phased_rows(1 << 20, 1) == 1
     assert _phased_rows(1 << 20, 7) == 1
     assert _phased_rows(1 << 22, 8) == 1
+
+
+def test_phased_cap_is_per_tier():
+    """_use_phased: the one-call kernel serves up to 2^22 on the 6-pass
+    tiers and one octave further (2^23) on the HBM-bound 1-pass default
+    tier (r4; exp_ceiling/exp_leaf measurement record). bt > 1 always
+    rides the two-call kernels."""
+    from kofft_tpu.config import set_precision
+    from kofft_tpu.ops.pallas_kernels import _use_phased
+    try:
+        assert _use_phased(1 << 22, 1)
+        assert not _use_phased(1 << 23, 1)
+        assert not _use_phased(1 << 22, 2)
+        set_precision("default")
+        assert _use_phased(1 << 23, 1)
+        assert not _use_phased(1 << 24, 1)
+        set_precision("high")       # costs like highest: 2^22 cap
+        assert not _use_phased(1 << 23, 1)
+    finally:
+        set_precision(None)
+
+
+def test_leaf128_line_decomposition():
+    """The leaf-128 change (r4): lines <= 1024 decompose exactly as at
+    leaf-32 era ((32, 32) for 1024 — the 2^20 headline path is
+    untouched), while 2048/4096/8192 lines bottom out in two dense
+    levels; leaf tables stay within the [16, 128] MXU-friendly band."""
+    from kofft_tpu.ops.pallas_kernels import _ML_LEAF, _ml_split
+
+    def levels(m):
+        out = []
+
+        def walk(mm):
+            if mm <= _ML_LEAF:
+                out.append(mm)
+                return
+            a, b = _ml_split(mm)
+            walk(a)
+            walk(b)
+
+        walk(m)
+        return out
+
+    assert _ML_LEAF == 128
+    assert levels(1024) == [32, 32]
+    assert levels(512) == [16, 32]
+    assert levels(2048) == [32, 64]
+    assert levels(4096) == [64, 64]
+    assert levels(8192) == [64, 128]
+    # smooth lines keep their odd*2^c leaves, now allowed up to 128
+    assert all(v <= 128 for v in levels(3 * 1024))
+    assert all(v <= 128 for v in levels(5 * 512))
