@@ -49,8 +49,9 @@ def cmd_bench(_args) -> int:
 def cmd_chipcheck(args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
-    public API at 2^14..2^22 plus smooth odd*2^k sizes and the fused
-    N-D zone (128^3, 512^2) on the real chip and reports SNR vs the
+    public API at 2^14..2^24 plus smooth odd*2^k sizes and the fused
+    N-D zones (128^3, 512^2, 2048^2, 4096^2, 256^3) on the real chip
+    and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
     choreography is correct at real sizes). With ``--record`` the
     results land in benchmarks/chipcheck.json (platform + per-size SNR
@@ -64,7 +65,8 @@ from kofft_tpu.ops.dft import snr_db
 rng = np.random.default_rng(11)
 ok = True
 rows = []
-for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
+for n in ([1 << p for p in (14, 16, 18, 20, 21, 22, 23, 24)]
+          + [3 << 18, 5 << 16]):
     xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     yr, yi = kt.fft_split(xr, xi)
@@ -79,7 +81,8 @@ for n in [1 << p for p in (14, 16, 18, 20, 21, 22)] + [3 << 18, 5 << 16]:
                  "rfft_snr_db": round(float(sr), 1)})
     ok &= s > 130 and sr > 130
 from kofft_tpu.ops import ndfft as NF
-for shape in [(128, 128, 128), (512, 512)]:
+for shape in [(128, 128, 128), (512, 512), (2048, 2048), (4096, 4096),
+              (256, 256, 256)]:
     ar = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     ai = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     br, bi = NF.fftn_split(ar, ai)
