@@ -4,11 +4,12 @@
 // cleanup and a stale-while-revalidate policy for shell assets so
 // updates propagate without breaking offline use. API POSTs are never
 // cached (streaming frames are stateful).
-const CACHE = "kofft-tpu-spectrogram-v1";
+const CACHE = "kofft-tpu-spectrogram-v2";
 const SHELL = [
   "./",
   "./index.html",
   "./app.mjs",
+  "./local.mjs",
   "./manifest.webmanifest",
 ];
 

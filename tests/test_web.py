@@ -229,3 +229,48 @@ def test_api_error_paths_return_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei3:
         urllib.request.urlopen(req, timeout=10)
     assert ei3.value.code == 400
+
+
+def test_local_fallback_matches_python_pipeline():
+    """local.mjs (the in-browser offline compute path, reference WASM
+    client parity web-spectrogram/src/lib.rs:70-252) must track the
+    Python pipeline's contract constants and palette stops — no node in
+    CI, so this parses the module text as a drift tripwire."""
+    import pathlib
+    import re
+    from kofft_tpu.web import state as S
+    from kofft_tpu.visual import spectrogram as V
+    src = (pathlib.Path(S.__file__).parent / "static" /
+           "local.mjs").read_text()
+    assert f"WIN_LEN = {S.WIN_LEN}" in src
+    assert f"HOP = {S.HOP}" in src
+    assert f"FLOOR_DB = {S.FLOOR_DB}" in src
+    # palette stops mirror visual/spectrogram.py exactly
+    body = src[src.index("const STOPS"):src.index("};") + 1]
+    starts = {name: body.index(name + ":") for name in ("fire", "rainbow")}
+    bounds = sorted(starts.values()) + [len(body)]
+    for stops, name in ((V._RAINBOW_STOPS, "rainbow"),
+                        (V._FIRE_STOPS, "fire")):
+        s0 = starts[name]
+        s1 = min(b for b in bounds if b > s0)
+        got = re.findall(r"\[([\d.]+), \[(\d+), (\d+), (\d+)\]\]",
+                         body[s0:s1])
+        assert [(float(p), (int(r), int(g), int(b)))
+                for p, r, g, b in got] == stops, name
+    # running-max init matches state.py (1e-12)
+    assert "1e-12" in src
+
+
+def test_app_offline_fallback_wiring():
+    """app.mjs must import the local module, probe /health, and fall
+    back to in-browser compute on a failed compute POST."""
+    import pathlib
+    from kofft_tpu.web import state as S
+    src = (pathlib.Path(S.__file__).parent / "static" /
+           "app.mjs").read_text()
+    assert 'from "./local.mjs"' in src
+    assert "/health" in src
+    assert "goLocal" in src
+    sw = (pathlib.Path(S.__file__).parent / "static" /
+          "sw.js").read_text()
+    assert "./local.mjs" in sw  # offline shell caches the compute path
