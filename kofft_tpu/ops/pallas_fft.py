@@ -32,8 +32,9 @@ def _on_tpu() -> bool:
 def pallas_supported(n: int, dtype: str) -> bool:
     """Which (n, dtype) the fused Pallas path covers right now: the
     phased/multi-level kernels for SMOOTH n = odd * 2^k (odd <= 23) in
-    [2^14, 2^24] on f32 planes — pow2 plus the reference's mixed-radix
-    hot-path sizes (3*2^18, 5*2^16, ...). Measured on v5e (differential
+    [2^14, 2^26] on f32 planes — pow2 plus the reference's mixed-radix
+    hot-path sizes (3*2^18, 5*2^16, ...); above 2^24 the two-call pair
+    runs with size-scaled stage tiles (streamed twiddle operands). Measured on v5e (differential
     chained timing): 2^20 c32 in 140 us at 135 dB vs jnp.fft's 218 —
     1.5x faster at higher accuracy; smooth 3*2^18 149 us vs the XLA
     matmul tree's 163. bfloat16 planes ride the same kernels with bf16

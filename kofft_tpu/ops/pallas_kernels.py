@@ -62,7 +62,9 @@ from ..config import get_config
 from ..plan import tables
 
 _TILE = 128
-_MAX_N = 1 << 24          # per-step VMEM is tile-bound: n1 * TILE planes
+_MAX_N = 1 << 26          # per-step VMEM is tile-bound: n1 * TILE planes
+                          # (above 2^24 the split grows n1 so stage-2
+                          # (t, n2) blocks stay <= 4 MB — see _pow2_split)
 _MIN_FACTOR = _TILE       # both factors must tile cleanly
 
 
@@ -90,7 +92,24 @@ def _pow2_split(n: int):
     o = n >> tz
     if o == 1:
         k = n.bit_length() - 1
-        n1 = min(1 << (k // 2), 2048)
+        n1 = 1 << (k // 2)
+        if n <= (1 << 23):
+            # the r3 leaf-32-era preference (n1 capped at 2048, longer
+            # n2) still holds through 2^23 at leaf-128
+            n1 = min(n1, 2048)
+        # 2^24+: balanced/short-n2 splits win and are REQUIRED — stage-2
+        # blocks are (t, n2) / (n2, t) planes whose lane dims cannot
+        # shrink below 128 (Mosaic block rule), so scoped VMEM grows
+        # with n2: (2048, 8192) at 2^24 overflows the 100 MB budget by
+        # 4.1 M with the bf16 scratch (measured, exp_sdt) and loses at
+        # `highest` too (3490 vs 3344 us for (4096, 4096) — the r3
+        # "14% for (2048, 8192)" preference predates leaf-128 and
+        # REVERSED on re-probe, exp_p56). n2 caps at 8192 (2^25 ->
+        # (4096, 8192), 2^26 -> (8192, 8192)) — this is what extends
+        # the native pow2 range past the old 2^24 cliff (VERDICT r4
+        # #6): twiddles were always streamed operands
+        # (_twiddle_factors), never baked literals.
+        n1 = max(n1, n // 8192)
         n2 = n // n1
         if n1 < _MIN_FACTOR or n2 < _MIN_FACTOR:
             return None
@@ -99,12 +118,15 @@ def _pow2_split(n: int):
         return None
     # n1 = o * 2^a (a >= 7 so the 128 tile divides it), n2 = 2^(tz-a)
     # >= 128; choose the most balanced split with n1 capped at 3 * 2^10
+    # and n2 capped at 8192 (the stage-2 block bound above)
     best = None
     for a in range(7, tz - 6):
         n1 = o << a
         n2 = 1 << (tz - a)
         if n1 > 3072:
             break
+        if n2 > 8192:
+            continue
         if best is None or abs(n1 - n2) < abs(best[0] - best[1]):
             best = (n1, n2)
     return best
@@ -464,11 +486,19 @@ def _ml_compiler_kwargs(interpret: bool, n1: int, t: int, bt: int) -> dict:
 
 @functools.lru_cache(maxsize=None)
 def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
-              mode: str = "highest", bt: int = 1, tile: int = _ML_TILE):
+              mode: str = "highest", bt: int = 1, tile: int = _ML_TILE,
+              cdt: str = "float32"):
+    """Two-call multilevel kernel pair. ``cdt`` is the HBM dtype of the
+    inter-stage C matrix: 'bfloat16' halves the pair's middle read+write
+    traffic (the biggest share of its 2-round-trip cost at 2^24+). Only
+    the `default` tier routes it — its MXU dots round operands to bf16
+    anyway, so the extra rounding stacks ~1 dB on the tier's ~44
+    (in-kernel compute stays f32 either way; outputs stay ``dtype``)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n1, n2 = _pow2_split(n)
+    cdtype = jnp.dtype(cdt)
     t = min(tile, n1)      # t tiles n2 in stage 1 and n1 in stage 2
     # base (n1, t) + per-column-block (n1, n2/t) twiddle factors
     ebr, ebi, ecr, eci = _twiddle_factors(n1, n2, t, dtype)
@@ -510,34 +540,38 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         b_i = bi_ref[...]
         return c_r * b_r - c_i * b_i, c_r * b_i + c_i * b_r
 
+    def _ld(v):
+        # compute is always f32 in-kernel; bf16 blocks upcast on load
+        return v if v.dtype == jnp.float32 else v.astype(jnp.float32)
+
     def s1_kernel(ar, ai, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
         cd = _unpack_consts(keys1, const_refs)
         # block (bt, n1, t): FFT each column (length n1), then twiddle
-        yr, yi = line_fft_cols(ar[...], ai[...], n1, cd)
+        yr, yi = line_fft_cols(_ld(ar[...]), _ld(ai[...]), n1, cd)
         w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
         w_r = w_r[None]
         w_i = w_i[None]
-        cr[...] = yr * w_r - yi * w_i
-        ci[...] = yr * w_i + yi * w_r
+        cr[...] = (yr * w_r - yi * w_i).astype(cdtype)
+        ci[...] = (yr * w_i + yi * w_r).astype(cdtype)
 
     def s1r_kernel(ar, ebr_r, ebi_r, ecr_r, eci_r, *crefs):
         # real-input stage 1 (rfft): no imag plane crosses HBM
         const_refs, (cr, ci) = crefs[:-2], crefs[-2:]
         cd = _unpack_consts(keys1, const_refs)
-        yr, yi = line_fft_cols(ar[...], None, n1, cd)
+        yr, yi = line_fft_cols(_ld(ar[...]), None, n1, cd)
         w_r, w_i = _block_twiddle(ebr_r, ebi_r, ecr_r, eci_r)
         w_r = w_r[None]
         w_i = w_i[None]
-        cr[...] = yr * w_r - yi * w_i
-        ci[...] = yr * w_i + yi * w_r
+        cr[...] = (yr * w_r - yi * w_i).astype(cdtype)
+        ci[...] = (yr * w_i + yi * w_r).astype(cdtype)
 
     def s2_kernel(cr, ci, *crefs):
         const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
         cd = _unpack_consts(keys2, const_refs)
         # block (bt, t, n2): FFT each row -> emit transposed (bt, n2, t)
-        br = jnp.transpose(cr[...], (2, 0, 1)).reshape(n2, bt * t)
-        bi = jnp.transpose(ci[...], (2, 0, 1)).reshape(n2, bt * t)
+        br = jnp.transpose(_ld(cr[...]), (2, 0, 1)).reshape(n2, bt * t)
+        bi = jnp.transpose(_ld(ci[...]), (2, 0, 1)).reshape(n2, bt * t)
         yr, yi = _fft_axis0_traced(br, bi, n2, cd, mode)
         xr_o[...] = jnp.swapaxes(yr.reshape(n2, bt, t), 0, 1)
         xi_o[...] = jnp.swapaxes(yi.reshape(n2, bt, t), 0, 1)
@@ -550,8 +584,8 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
         const_refs, (xr_o, xi_o) = crefs[:-2], crefs[-2:]
         cd = _unpack_consts(keys2, const_refs)
         h = n2 // 2
-        br = jnp.transpose(cr[...], (2, 0, 1)).reshape(n2, bt * t)
-        bi = jnp.transpose(ci[...], (2, 0, 1)).reshape(n2, bt * t)
+        br = jnp.transpose(_ld(cr[...]), (2, 0, 1)).reshape(n2, bt * t)
+        bi = jnp.transpose(_ld(ci[...]), (2, 0, 1)).reshape(n2, bt * t)
         yr, yi = _fft_axis0_traced(br, bi, n2, cd, mode)
         xr_o[...] = jnp.swapaxes(yr[:h].reshape(h, bt, t), 0, 1)
         xi_o[...] = jnp.swapaxes(yi[:h].reshape(h, bt, t), 0, 1)
@@ -580,7 +614,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
             s1_kernel, grid=grid,
             in_specs=[data, data] + _tw_specs() + _const_vmem_specs(consts1),
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), cdtype)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=16 * b * n1 * n2 * max(1, n1.bit_length() // 5),
                 bytes_accessed=(4 * 2 * b * n1 * n2 * 2
@@ -597,7 +631,7 @@ def _build_ml(n: int, dtype: str = "float32", interpret: bool = False,
             s1r_kernel, grid=grid,
             in_specs=[data] + _tw_specs() + _const_vmem_specs(consts1),
             out_specs=[data, data],
-            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((b, n1, n2), cdtype)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=12 * b * n1 * n2 * max(1, n1.bit_length() // 5),
                 bytes_accessed=(4 * 3 * b * n1 * n2
@@ -687,7 +721,22 @@ _PHASED_MAX_N = 1 << 22
 # VMEM-pressure-bound there and LOSE to the two-call pair (2097 vs
 # 1373) — same per-tier-cap shape as fused_2d_zone. Record:
 # benchmarks/exp_p23.out probe + exp_ceiling.py/exp_leaf.py.
-_PHASED_MAX_N_DEFAULT = 1 << 23
+# r5: the default cap extends one MORE octave to 2^24 via a bf16
+# C-scratch (64 MB where f32 would need an impossible 128) — the tier's
+# dots round operands to bf16 anyway, so quantizing C costs ~nothing
+# (SNR holds ~43.8 dB); one HBM round trip instead of the two-call
+# pair's two. Measured v5e 2^24 default (exp_sdt): 1709.9 us =
+# 9.81 Gpts/s at 43.8 dB, vs 2194 for the bf16-C two-call pair and
+# 2318 in r4 — and no 2^23 regression (852.8 us, f32 scratch).
+_PHASED_MAX_N_DEFAULT = 1 << 24
+
+
+def _phased_sdt(n: int, mode: str, interpret: bool) -> str:
+    """Scratch dtype for the phased kernel: bf16 only where the f32
+    scratch cannot fit (the 2^24 octave) on the `default` tier."""
+    if mode == "default" and not interpret and n > (1 << 23):
+        return "bfloat16"
+    return "float32"
 # complex flat mode stashes the FULL spectrum in the second scratch
 # (2 extra planes: 2n*4 B on top of C's 2n*4 B) — capped one octave
 # below the phased ceiling; the real flat variant stashes only the
@@ -698,7 +747,8 @@ _PHASED_FLAT_MAX_N = 1 << 21
 @functools.lru_cache(maxsize=None)
 def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                   mode: str = "highest", real: bool = False,
-                  flat: bool = False, io: str = "float32", rows: int = 1):
+                  flat: bool = False, io: str = "float32", rows: int = 1,
+                  wide: bool = False, sdt: str = "float32"):
     """Phased one-call kernel. Complex: phases (stage 1 | stage 2),
     output the tiled (b, n2, n1) planes (their flat reshape IS the
     natural-order spectrum). Real tiled (``flat=False``): one-sided
@@ -742,7 +792,14 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     collapses at HIGHEST (240.7 — scratch eats the pipeline's VMEM), so
     2 is the shipped fold. Mosaic dimension_semantics=(parallel,
     arbitrary) measured a flat zero at both tiers (same experiment) —
-    do not retry. Flat mode requires rows == 1."""
+    do not retry. Flat mode requires rows == 1.
+
+    ``wide`` (rows > 1 only) fuses the folded rows into ONE wide line
+    FFT per phase step — (n1, rows*t) operands instead of a Python
+    loop of rows narrow (n1, t) calls — so every MXU leaf dot streams
+    rows*t columns, amortizing the per-dot pipeline fill across rows
+    (the r5 probe lever for the batched-vs-single per-row gap,
+    VERDICT r4 #2; exp_batch4.py is the measurement record)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -774,6 +831,8 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         return v if io == "float32" else v.astype(odt)
 
     assert rows == 1 or not flat, "flat phased kernels are single-row"
+    assert sdt == "float32" or not flat, "flat keeps f32 scratch"
+    sdtype = jnp.dtype(sdt)
 
     def kern(*refs):
         if real:
@@ -809,14 +868,33 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             c_i = jnp.sum(tbl_i * sel, axis=1, keepdims=True)
             w_r = c_r * ebr_r[...] - c_i * ebi_r[...]
             w_i = c_r * ebi_r[...] + c_i * ebr_r[...]
+            if wide and rows > 1:
+                # one wide line FFT over all folded rows: every leaf dot
+                # streams rows*t columns (per-dot fill amortized)
+                xr_all = jnp.concatenate(
+                    [_iload(ar[r]) for r in range(rows)], axis=-1)
+                xi_all = None if real else jnp.concatenate(
+                    [_iload(ai[r]) for r in range(rows)], axis=-1)
+                yr, yi = _fft_axis0_traced(xr_all, xi_all, n1, cd1, mode)
+                for r in range(rows):
+                    ys_r = yr[:, r * t:(r + 1) * t]
+                    ys_i = yi[:, r * t:(r + 1) * t]
+                    cr = ys_r * w_r - ys_i * w_i
+                    ci = ys_r * w_i + ys_i * w_r
+                    scr_r[r, i] = cr.astype(sdtype)
+                    scr_i[r, i] = ci.astype(sdtype)
+                    if real and not flat:
+                        nyq_r[r] = _ostore(cr[0:1, :])
+                        nyq_i[r] = _ostore(ci[0:1, :])
+                return
             for r in range(rows):
                 yr, yi = _fft_axis0_traced(
                     _iload(ar[r]), None if real else _iload(ai[r]),
                     n1, cd1, mode)
                 cr = yr * w_r - yi * w_i
                 ci = yr * w_i + yi * w_r
-                scr_r[r, i] = cr
-                scr_i[r, i] = ci
+                scr_r[r, i] = cr.astype(sdtype)
+                scr_i[r, i] = ci.astype(sdtype)
                 if real and not flat:
                     # the Nyquist epilogue needs C[k1=0, :]: emit it as
                     # a small second output, one (rows, 1, t) tile per
@@ -827,15 +905,41 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         @pl.when(jnp.logical_and(i >= ph1, i < ph1 + ph2))
         def _stage2():
             j = i - ph1
+            if wide and rows > 1:
+                # one wide line FFT over all folded rows (see _stage1)
+                cols = []
+                for r in range(rows):
+                    br = jnp.concatenate(
+                        [scr_r[r, c, pl.ds(j * t, t), :]
+                         for c in range(ph1)], axis=1)
+                    bi = jnp.concatenate(
+                        [scr_i[r, c, pl.ds(j * t, t), :]
+                         for c in range(ph1)], axis=1)
+                    cols.append((br.T, bi.T))            # (n2, t)
+                ball_r = jnp.concatenate(
+                    [c[0] for c in cols], axis=-1).astype(jnp.float32)
+                ball_i = jnp.concatenate(
+                    [c[1] for c in cols], axis=-1).astype(jnp.float32)
+                zr, zi = _fft_axis0_traced(ball_r, ball_i, n2, cd2, mode)
+                for r in range(rows):
+                    zs_r = zr[:, r * t:(r + 1) * t]
+                    zs_i = zi[:, r * t:(r + 1) * t]
+                    if real:
+                        out_r[r] = _ostore(zs_r[:h])
+                        out_i[r] = _ostore(zs_i[:h])
+                    else:
+                        out_r[r] = _ostore(zs_r)
+                        out_i[r] = _ostore(zs_i)
+                return
             for r in range(rows):
                 # line block (t, n2): rows [j*t, j*t+t) of the (n1, n2)
                 # C view = that row range of every scratch chunk
                 br = jnp.concatenate(
                     [scr_r[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
-                    axis=1)
+                    axis=1).astype(jnp.float32)
                 bi = jnp.concatenate(
                     [scr_i[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
-                    axis=1)
+                    axis=1).astype(jnp.float32)
                 zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
                 if flat:
                     sc2_r[j] = zr[:h]      # all rows (complex) / k2 < n2/2
@@ -933,7 +1037,11 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     out_specs = [data_out, data_out]
     if real and not flat:
         out_specs += [nyq_out, nyq_out]
-    scratch = [pltpu.VMEM((rows, ph1, n1, t), jnp.float32)] * 2
+    # ``sdt='bfloat16'`` halves the C scratch (the binding VMEM cost):
+    # on the 1-pass `default` tier every dot rounds its operands to
+    # bf16 anyway, so quantizing C costs ~nothing — and it is what lets
+    # the ONE-call kernel serve 2^24 (f32 scratch would need 128 MB)
+    scratch = [pltpu.VMEM((rows, ph1, n1, t), sdtype)] * 2
     if flat:
         scratch += [pltpu.VMEM((ph2, h, t), jnp.float32)] * 2
 
@@ -1019,9 +1127,10 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
     ai = xi.reshape(b, n1, n2)
     if io != "float32":
         if _use_phased(n, bt):
-            run = _build_phased(n, "float32", interpret,
-                                _kernel_precision(), io=io,
-                                rows=_phased_rows(n, b))
+            mode = _kernel_precision()
+            run = _build_phased(n, "float32", interpret, mode, io=io,
+                                rows=_phased_rows(n, b),
+                                sdt=_phased_sdt(n, mode, interpret))
             yr, yi = run(b, ar, ai)
             return yr.reshape(*batch, n), yi.reshape(*batch, n)
         yr, yi = fused_multilevel_fft(xr.astype(jnp.float32),
@@ -1065,11 +1174,30 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
             ar = ar.astype(jnp.bfloat16)
             ai = ai.astype(jnp.bfloat16)
         run = _build_phased(n, str(xr.dtype), interpret, mode,
-                            rows=_phased_rows(n, b))
+                            rows=_phased_rows(n, b),
+                            sdt=_phased_sdt(n, mode, interpret))
         yr, yi = run(b, ar, ai)
         return yr.reshape(*batch, n), yi.reshape(*batch, n)
+    mode = _kernel_precision()
+    cdt = "float32"
+    if mode == "default" and not interpret:
+        # the two-call pair's dominant cost is its TWO HBM round trips;
+        # on the 1-pass tier the dots round operands to bf16 anyway, so
+        # a bf16 inter-stage C (write + read = the middle half of the
+        # traffic) and bf16 input planes (asymmetric I/O, the cast fuses
+        # into the flat->tiled relayout) are near-free accuracy-wise.
+        # Outputs stay f32 (bf16-out upcast does not fuse — same
+        # negative as the phased path's io= note). Measured v5e 2^24
+        # default (exp_p56, before the phased bf16-scratch took that
+        # size): 2318 -> 2194 us at 43.9 dB — only ~5%, so the pair is
+        # DMA-granularity-bound, not HBM-bound; kept because it is pure
+        # profit for the sizes still routed here (2^25/2^26, bt>1
+        # folds).
+        cdt = "bfloat16"
+        ar = ar.astype(jnp.bfloat16)
+        ai = ai.astype(jnp.bfloat16)
     n1, n2, stage1, _, stage2, _ = _build_ml(n, str(xr.dtype), interpret,
-                                             _kernel_precision(), bt)
+                                             mode, bt, cdt=cdt)
     cr, ci = stage1(b, ar, ai)
     yr, yi = stage2(b, cr, ci)
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
@@ -1101,8 +1229,10 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
             yr, yi = fused_multilevel_rfft(x.astype(jnp.float32), n,
                                            interpret)
             return yr.astype(x.dtype), yi.astype(x.dtype)
-        run = _build_phased(n, "float32", interpret, _kernel_precision(),
-                            real=True, io=io, rows=_phased_rows(n, b))
+        mode = _kernel_precision()
+        run = _build_phased(n, "float32", interpret, mode,
+                            real=True, io=io, rows=_phased_rows(n, b),
+                            sdt=_phased_sdt(n, mode, interpret))
         hr, hi, c0r, c0i = run(b, x.reshape(b, n1, n2))
         # Nyquist epilogue in f32 (bf16 accumulation would round the
         # alternating sum), result rounded back to the io dtype
@@ -1119,9 +1249,12 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         yi = jnp.concatenate([hi.reshape(b, n // 2), ni], axis=-1)
         return (yr.reshape(*batch, n // 2 + 1),
                 yi.reshape(*batch, n // 2 + 1))
-    if (_use_phased(n, bt) and batch == ()
+    if (_use_phased(n, bt) and batch == () and n <= (1 << 23)
             and (interpret
                  or (not (n & (n - 1)) and _pow2_split(n)[0] >= 1024))):
+        # n cap: flat keeps an f32 C scratch (assert in _build_phased),
+        # whose ceiling is 64 MB = 2^23; the 2^24 default octave rides
+        # the tiled real path below with the bf16 scratch instead
         # chip: pow2 with n1 >= 1024 only (Mosaic's shape-cast
         # inference rejects the flat reshape for odd or small n1);
         # interpret mode keeps flat coverage at all sizes
@@ -1152,14 +1285,23 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
             # cost, outputs stay f32 (see fused_multilevel_fft)
             xin = xin.astype(jnp.bfloat16)
         run = _build_phased(n, str(x.dtype), interpret, mode,
-                            real=True, rows=_phased_rows(n, b))
+                            real=True, rows=_phased_rows(n, b),
+                            sdt=_phased_sdt(n, mode, interpret))
         hr, hi, c0r, c0i = run(b, xin)
         c0r = c0r[:, 0, :]                       # (b, n2): C[k1=0, :]
         c0i = c0i[:, 0, :]
     else:
+        mode = _kernel_precision()
+        cdt = "float32"
+        xin = x.reshape(b, n1, n2)
+        if mode == "default" and not interpret:
+            # same default-tier traffic cuts as the complex two-call
+            # branch: bf16 inter-stage C + bf16 input plane
+            cdt = "bfloat16"
+            xin = xin.astype(jnp.bfloat16)
         n1, n2, _, stage1_real, _, stage2_half = _build_ml(
-            n, str(x.dtype), interpret, _kernel_precision(), bt)
-        cr, ci = stage1_real(b, x.reshape(b, n1, n2))
+            n, str(x.dtype), interpret, mode, bt, cdt=cdt)
+        cr, ci = stage1_real(b, xin)
         hr, hi = stage2_half(b, cr, ci)          # (b, n2//2, n1)
         c0r = cr[:, 0, :]
         c0i = ci[:, 0, :]
@@ -1302,16 +1444,21 @@ def phased_tiled_fft(ar, ai, interpret: bool = False):
         # No asymmetric-I/O cast here: pre-tiled operands have no
         # relayout for the convert to fuse into, so a cast would add a
         # full pass for the half it saves (net zero).
-        run = _build_phased(n, "float32", interpret,
-                            _kernel_precision(), io=io,
-                            rows=_phased_rows(n, b))
+        mode = _kernel_precision()
+        run = _build_phased(n, "float32", interpret, mode, io=io,
+                            rows=_phased_rows(n, b),
+                            sdt=_phased_sdt(n, mode, interpret))
         return run(b, ar, ai)
     if io != "float32":
         yr, yi = phased_tiled_fft(ar.astype(jnp.float32),
                                   ai.astype(jnp.float32), interpret)
         return yr.astype(ar.dtype), yi.astype(ar.dtype)
+    mode = _kernel_precision()
+    # bf16 inter-stage C on the 1-pass tier (no input cast here: pre-
+    # tiled operands have no relayout for the convert to fuse into)
+    cdt = "bfloat16" if mode == "default" and not interpret else "float32"
     _, _, stage1, _, stage2, _ = _build_ml(n, str(ar.dtype), interpret,
-                                           _kernel_precision(), bt)
+                                           mode, bt, cdt=cdt)
     cr, ci = stage1(b, ar, ai)
     return stage2(b, cr, ci)
 
@@ -1369,7 +1516,8 @@ def fused_2d_zone(shape: tuple, axes: tuple) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _build_fft2(n1: int, n2: int, dtype: str = "float32",
-                interpret: bool = False, mode: str = "highest"):
+                interpret: bool = False, mode: str = "highest",
+                bt: int = 1):
     """One-call 2-D FFT kernel: the phased four-step WITHOUT the
     inter-stage twiddle. A 2-D transform of an (n1, n2) image is
     exactly the two stages of the Bailey 1-D decomposition of
@@ -1382,7 +1530,15 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
     kernel's native layout (the reference reaches 2-D by strided 1-D
     line loops, /root/reference/src/ndfft.rs:74-100; one HBM round-trip
     replaces its per-axis passes). Returns run(b, ar, ai) -> (yr, yi)
-    on (b, n1, n2) planes, forward unnormalized."""
+    on (b, n1, n2) planes, forward unnormalized.
+
+    ``bt`` folds that many images into each grid step as WIDE line FFTs
+    ((n1, bt*t) operands — every leaf dot streams bt*t columns): the
+    small-image form (r5, VERDICT r4 #5). A 256^2 image alone gives
+    128 KB blocks and a launch/DMA-granularity-bound grid (the measured
+    negative in benchmarks/exp_2d_big.py); folding 8 slabs restores
+    1 MB blocks. This is what lets 256^3 route its (1,2)-axes pass
+    through ONE kernel round-trip (see ``fused_cube_zone``)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1410,42 +1566,58 @@ def _build_fft2(n1: int, n2: int, dtype: str = "float32",
         @pl.when(i < ph1)
         def _stage1():
             # column tile i: FFT each length-n1 column, stash (no
-            # twiddle — this is the whole 2-D-vs-1-D difference)
-            yr, yi = _fft_axis0_traced(ar[0], ai[0], n1, cd1, mode)
-            scr_r[i] = yr
-            scr_i[i] = yi
+            # twiddle — this is the whole 2-D-vs-1-D difference).
+            # bt > 1: ONE wide FFT over all folded images' columns
+            xall_r = jnp.concatenate([ar[r] for r in range(bt)], axis=-1)
+            xall_i = jnp.concatenate([ai[r] for r in range(bt)], axis=-1)
+            yr, yi = _fft_axis0_traced(xall_r, xall_i, n1, cd1, mode)
+            for r in range(bt):
+                scr_r[r, i] = yr[:, r * t:(r + 1) * t]
+                scr_i[r, i] = yi[:, r * t:(r + 1) * t]
 
         @pl.when(i >= ph1)
         def _stage2():
             j = i - ph1
-            # line block (t, n2): rows [j*t, j*t+t) of the stage-1
-            # result = that row range of every scratch chunk
-            br = jnp.concatenate(
-                [scr_r[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
-            bi = jnp.concatenate(
-                [scr_i[c, pl.ds(j * t, t), :] for c in range(ph1)], axis=1)
-            zr, zi = _fft_axis0_traced(br.T, bi.T, n2, cd2, mode)
-            out_r[0] = zr.T            # (t, n2): rows k1, lanes k2 —
-            out_i[0] = zi.T            # natural 2-D order, no transpose
+            # line block (t, n2) per image: rows [j*t, j*t+t) of the
+            # stage-1 result = that row range of every scratch chunk;
+            # folded images join as extra lanes of one wide FFT
+            cols = []
+            for r in range(bt):
+                br = jnp.concatenate(
+                    [scr_r[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
+                    axis=1)
+                bi = jnp.concatenate(
+                    [scr_i[r, c, pl.ds(j * t, t), :] for c in range(ph1)],
+                    axis=1)
+                cols.append((br.T, bi.T))
+            zr, zi = _fft_axis0_traced(
+                jnp.concatenate([c[0] for c in cols], axis=-1),
+                jnp.concatenate([c[1] for c in cols], axis=-1),
+                n2, cd2, mode)
+            for r in range(bt):
+                # (t, n2): rows k1, lanes k2 — natural 2-D order
+                out_r[r] = zr[:, r * t:(r + 1) * t].T
+                out_i[r] = zi[:, r * t:(r + 1) * t].T
 
-    data_in = pl.BlockSpec((1, n1, t),
+    data_in = pl.BlockSpec((bt, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
                            memory_space=pltpu.VMEM)
     # stage-2 step j writes row block j; stage-1 steps revisit block 0
     # unwritten (same flushed-once-written pattern as _build_phased)
     data_out = pl.BlockSpec(
-        (1, t, n2), lambda b_, i: (b_, jnp.maximum(i - ph1, 0), 0),
+        (bt, t, n2), lambda b_, i: (b_, jnp.maximum(i - ph1, 0), 0),
         memory_space=pltpu.VMEM)
 
     def run(b, ar, ai):
+        assert b % bt == 0, (b, bt)
         shapes = [jax.ShapeDtypeStruct((b, n1, n2), jnp.float32)] * 2
         return pl.pallas_call(
-            kern, grid=(b, ph1 + ph2),
+            kern, grid=(b // bt, ph1 + ph2),
             in_specs=[data_in, data_in]
             + _const_vmem_specs(consts1) + _const_vmem_specs(consts2),
             out_specs=[data_out, data_out],
             out_shape=shapes,
-            scratch_shapes=[pltpu.VMEM((ph1, n1, t), jnp.float32)] * 2,
+            scratch_shapes=[pltpu.VMEM((bt, ph1, n1, t), jnp.float32)] * 2,
             cost_estimate=pl.CostEstimate(
                 flops=32 * b * n1 * n2
                 * max(1, (n1 * n2).bit_length() // 5),

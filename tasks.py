@@ -49,7 +49,7 @@ def cmd_bench(_args) -> int:
 def cmd_chipcheck(args) -> int:
     """Real-size numeric parity ON THE ATTACHED ACCELERATOR: the CPU
     test mesh caps interpret-mode parity at 2^15; this drives the
-    public API at 2^14..2^24 plus smooth odd*2^k sizes and the fused
+    public API at 2^14..2^26 plus smooth odd*2^k sizes and the fused
     N-D zones (128^3, 512^2, 2048^2, 4096^2, 256^3) on the real chip
     and reports SNR vs the
     float64 oracle (>= 130 dB = the phased kernel's scratch
@@ -65,7 +65,7 @@ from kofft_tpu.ops.dft import snr_db
 rng = np.random.default_rng(11)
 ok = True
 rows = []
-for n in ([1 << p for p in (14, 16, 18, 20, 21, 22, 23, 24)]
+for n in ([1 << p for p in (14, 16, 18, 20, 21, 22, 23, 24, 25, 26)]
           + [3 << 18, 5 << 16]):
     xr = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -118,11 +118,21 @@ def cmd_coverage(_args) -> int:
 
 
 def cmd_lint(_args) -> int:
-    """Byte-compile every source file (import-safety gate)."""
+    """Byte-compile every source file (import-safety gate) and require a
+    clean git tree — round artifacts (BENCH/MULTICHIP JSONs, probe outs)
+    must be committed, not drift untracked (VERDICT r4 #8). The analog
+    of the reference xtask's fmt/clippy gate (xtask/src/main.rs:12-60)."""
     import compileall
     ok = compileall.compile_dir(str(REPO / "kofft_tpu"), quiet=1)
     ok &= compileall.compile_file(str(REPO / "bench.py"), quiet=1)
     ok &= compileall.compile_file(str(REPO / "tasks.py"), quiet=1)
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True).stdout.strip()
+    if dirty:
+        print("lint: dirty tree (commit round artifacts):")
+        print(dirty)
+        ok = False
     print("lint:", "OK" if ok else "FAILED")
     return 0 if ok else 1
 

@@ -214,7 +214,9 @@ def test_jnp_fft_zone_logic():
     """Engine zone map is pure logic (measured v5e class boundaries)."""
     from kofft_tpu.ops.fft import _jnp_fft_zone
     assert _jnp_fft_zone((64, 4096), 4096)       # batched mid-size pow2
-    assert _jnp_fft_zone((1 << 25,), 1 << 25)    # above the Pallas cap
+    assert _jnp_fft_zone((1 << 27,), 1 << 27)    # above the Pallas cap
+    assert not _jnp_fft_zone((1 << 25,), 1 << 25)  # r5: native to 2^26
+    assert not _jnp_fft_zone((1 << 26,), 1 << 26)
     assert not _jnp_fft_zone((4096,), 4096)      # single mid-size: pallas
     assert not _jnp_fft_zone((64, 4095), 4095)   # non-pow2
     assert not _jnp_fft_zone((1 << 20,), 1 << 20)  # flagship size: pallas

@@ -21,13 +21,22 @@ def test_supported_predicate():
     assert fused_four_step_supported(1 << 20)
     assert not fused_four_step_supported(1000)      # non-pow2
     assert not fused_four_step_supported(1 << 10)   # factors < 128
-    assert not fused_four_step_supported(1 << 25)   # VMEM budget
+    assert fused_four_step_supported(1 << 25)       # r5: native to 2^26
+    assert fused_four_step_supported(1 << 26)
+    assert not fused_four_step_supported(1 << 27)   # beyond the range
 
 
 def test_pow2_split_balance():
     assert _pow2_split(1 << 16) == (256, 256)
     assert _pow2_split(1 << 17) == (256, 512)
     assert _pow2_split(1 << 14) == (128, 128)
+    # 2^24+: balanced/short-n2 splits (stage-2 scoped VMEM grows with
+    # n2 — lane dims cannot shrink below 128; and (4096, 4096) beats
+    # (2048, 8192) at `highest` on re-probe, exp_p56/exp_sdt)
+    assert _pow2_split(1 << 23) == (2048, 4096)
+    assert _pow2_split(1 << 24) == (4096, 4096)
+    assert _pow2_split(1 << 25) == (4096, 8192)
+    assert _pow2_split(1 << 26) == (8192, 8192)
 
 
 @pytest.mark.parametrize("n", [1 << 14, 1 << 15])
@@ -715,18 +724,24 @@ def test_phased_rows_fold_parity_interpret(rng):
 
 def test_phased_cap_is_per_tier():
     """_use_phased: the one-call kernel serves up to 2^22 on the 6-pass
-    tiers and one octave further (2^23) on the HBM-bound 1-pass default
-    tier (r4; exp_ceiling/exp_leaf measurement record). bt > 1 always
-    rides the two-call kernels."""
+    tiers and TWO octaves further (2^23 f32 scratch, 2^24 bf16 scratch —
+    r5) on the HBM-bound 1-pass default tier. bt > 1 always rides the
+    two-call kernels."""
     from kofft_tpu.config import set_precision
-    from kofft_tpu.ops.pallas_kernels import _use_phased
+    from kofft_tpu.ops.pallas_kernels import _phased_sdt, _use_phased
     try:
         assert _use_phased(1 << 22, 1)
         assert not _use_phased(1 << 23, 1)
         assert not _use_phased(1 << 22, 2)
         set_precision("default")
         assert _use_phased(1 << 23, 1)
-        assert not _use_phased(1 << 24, 1)
+        assert _use_phased(1 << 24, 1)
+        assert not _use_phased(1 << 25, 1)
+        # the 2^24 octave only fits with the bf16 C-scratch
+        assert _phased_sdt(1 << 24, "default", False) == "bfloat16"
+        assert _phased_sdt(1 << 23, "default", False) == "float32"
+        assert _phased_sdt(1 << 24, "highest", False) == "float32"
+        assert _phased_sdt(1 << 24, "default", True) == "float32"
         set_precision("high")       # costs like highest: 2^22 cap
         assert not _use_phased(1 << 23, 1)
     finally:
@@ -763,3 +778,85 @@ def test_leaf128_line_decomposition():
     # smooth lines keep their odd*2^c leaves, now allowed up to 128
     assert all(v <= 128 for v in levels(3 * 1024))
     assert all(v <= 128 for v in levels(5 * 512))
+
+
+def test_phased_wide_rows_parity_interpret(rng):
+    """The r5 wide-dot rows fuse (one (n1, rows*t) line FFT per grid
+    step instead of a Python loop of narrow calls) must match the
+    narrow form bit-for-contract: complex and real variants."""
+    import jax.numpy as jnp
+    from kofft_tpu.ops.pallas_kernels import _build_phased, _pow2_split
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    b = 4
+    ar = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    ai = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    ref = np.fft.fft(ar.reshape(b, n).astype(np.float64)
+                     + 1j * ai.reshape(b, n).astype(np.float64))
+    for rows in (2, 4):
+        run = _build_phased(n, "float32", True, "highest", rows=rows,
+                            wide=True)
+        yr, yi = run(b, jnp.asarray(ar), jnp.asarray(ai))
+        got = (np.asarray(yr, np.float64)
+               + 1j * np.asarray(yi, np.float64)).reshape(b, n)
+        assert snr_db(ref, got) > 100.0, rows
+    # real wide: one-sided halves + Nyquist row outputs
+    x = rng.standard_normal((b, n1, n2)).astype(np.float32)
+    rref = np.fft.rfft(x.reshape(b, n).astype(np.float64))
+    run = _build_phased(n, "float32", True, "highest", real=True,
+                        rows=2, wide=True)
+    hr, hi, c0r, c0i = run(b, jnp.asarray(x))
+    signs = np.where(np.arange(n2) % 2 == 0, 1.0, -1.0).astype(np.float32)
+    nr = (np.asarray(c0r)[:, 0, :] * signs).sum(-1)[:, None]
+    ni = (np.asarray(c0i)[:, 0, :] * signs).sum(-1)[:, None]
+    got = (np.concatenate(
+        [np.asarray(hr, np.float64).reshape(b, n // 2), nr], -1)
+        + 1j * np.concatenate(
+            [np.asarray(hi, np.float64).reshape(b, n // 2), ni], -1))
+    assert snr_db(rref, got) > 100.0
+
+
+def test_fft2_bt_fold_parity_interpret(rng):
+    """bt-folded 2-D kernel (r5, small-image form): 8 slabs per grid
+    step as wide line FFTs must equal per-slab 2-D FFTs."""
+    import jax.numpy as jnp
+    from kofft_tpu.ops.pallas_kernels import _build_fft2
+    m, b = 128, 8
+    ar = rng.standard_normal((b, m, m)).astype(np.float32)
+    ai = rng.standard_normal((b, m, m)).astype(np.float32)
+    run = _build_fft2(m, m, "float32", True, "highest", bt=4)
+    yr, yi = run(b, jnp.asarray(ar), jnp.asarray(ai))
+    ref = np.fft.fft2(ar.astype(np.float64) + 1j * ai.astype(np.float64))
+    got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+    assert snr_db(ref, got) > 100.0
+
+
+def test_two_call_bf16_c_intermediate_interpret(rng):
+    """bf16 inter-stage C (default-tier traffic cut, r5): the pair must
+    stay within the bf16 quantization floor of the f32 result and emit
+    f32 outputs; rfft variant's one-sided shape contract holds."""
+    import jax.numpy as jnp
+    from kofft_tpu.ops.pallas_kernels import _build_ml, _pow2_split
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    ar = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    ai = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    ref = np.fft.fft(ar.reshape(1, n).astype(np.float64)
+                     + 1j * ai.reshape(1, n).astype(np.float64))
+    _, _, s1, _, s2, _ = _build_ml.__wrapped__(
+        n, "float32", True, "default", 1, 128, "bfloat16")
+    cr, ci = s1(1, jnp.asarray(ar), jnp.asarray(ai))
+    assert str(cr.dtype) == "bfloat16"
+    yr, yi = s2(1, cr, ci)
+    assert str(yr.dtype) == "float32"
+    got = (np.asarray(yr, np.float64)
+           + 1j * np.asarray(yi, np.float64)).reshape(1, n)
+    # interpret-mode 'default' dots are exact f32, so the only error is
+    # the bf16 C quantization (~50 dB at this size)
+    assert snr_db(ref, got) > 45.0
+    _, _, _, s1r, _, s2h = _build_ml.__wrapped__(
+        n, "float32", True, "default", 1, 128, "bfloat16")
+    x = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    cr, ci = s1r(1, jnp.asarray(x))
+    hr, hi = s2h(1, cr, ci)
+    assert hr.shape == (1, n2 // 2, n1) and str(hr.dtype) == "float32"
