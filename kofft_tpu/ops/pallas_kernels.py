@@ -811,6 +811,16 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
     h = n2 // 2 if real else n2        # emitted stage-2 rows
     tk = min(_ML_TILE, h)              # phase-3 spectrum rows per step
     w = tk * n1                        # phase-3 flat block width
+    # rank-2 flat form (r5, VERDICT r4 #7): Mosaic's 1-D shape-cast
+    # accepts the in-kernel (tk, n1) -> (w,) collapse only for
+    # n1 % 1024 == 0; for every other served n1 (smooth odd 768/640,
+    # small pow2 128..512) phase 3 emits (w//128, 128) blocks instead —
+    # the same sublane-dense layout, it lowers for all n1 % 128 == 0,
+    # and the caller-side (rows, 128) <-> (m,) reshape measures ~0.5 us
+    # (benchmarks/exp_flatodd.py). This is what extends the
+    # no-output-relayout flat path beyond n1 >= 1024 pow2.
+    r2flat = flat and (n1 % 1024 != 0)
+    wrows = w // 128
     m_flat = n // 2 + 1 if real else n  # flat output length
     # real flat needs a Nyquist tail step; complex flat divides exactly
     ph3 = 0 if not flat else (h // tk) + (1 if real else 0)
@@ -969,8 +979,12 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                     im = jnp.concatenate(
                         [sc2_i[c, pl.ds(p * tk, tk), :]
                          for c in range(ph2)], axis=1)
-                    out_r[...] = _ostore(rs.reshape(w))
-                    out_i[...] = _ostore(im.reshape(w))
+                    if r2flat:
+                        out_r[...] = _ostore(rs.reshape(wrows, 128))
+                        out_i[...] = _ostore(im.reshape(wrows, 128))
+                    else:
+                        out_r[...] = _ostore(rs.reshape(w))
+                        out_i[...] = _ostore(im.reshape(w))
 
                 @pl.when(is_tail)
                 def _nyquist():
@@ -983,9 +997,20 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
                     for c in range(ph1):
                         acc_r += jnp.sum(scr_r[0, c, 0:1, :] * sgn)
                         acc_i += jnp.sum(scr_i[0, c, 0:1, :] * sgn)
-                    lane = jax.lax.iota(jnp.int32, w)
-                    out_r[...] = _ostore(jnp.where(lane == 0, acc_r, 0.0))
-                    out_i[...] = _ostore(jnp.where(lane == 0, acc_i, 0.0))
+                    if r2flat:
+                        ri2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (wrows, 128), 0)
+                        ci2 = jax.lax.broadcasted_iota(
+                            jnp.int32, (wrows, 128), 1)
+                        m0 = jnp.logical_and(ri2 == 0, ci2 == 0)
+                        out_r[...] = _ostore(jnp.where(m0, acc_r, 0.0))
+                        out_i[...] = _ostore(jnp.where(m0, acc_i, 0.0))
+                    else:
+                        lane = jax.lax.iota(jnp.int32, w)
+                        out_r[...] = _ostore(
+                            jnp.where(lane == 0, acc_r, 0.0))
+                        out_i[...] = _ostore(
+                            jnp.where(lane == 0, acc_i, 0.0))
 
     data_in = pl.BlockSpec((rows, n1, t),
                            lambda b_, i: (b_, 0, jnp.minimum(i, ph1 - 1)),
@@ -1006,10 +1031,19 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
         # vs the tiled grid's 165.7/83.6 — the revisited-block pattern
         # that costs nothing at b=1 re-DMAs across the batch grid axis.
         # Capability + parity test kept; not routed.
-        data_out = pl.BlockSpec(
-            (w,),
-            lambda b_, i: (b_ * ph3 + jnp.maximum(i - ph1 - ph2, 0),),
-            memory_space=pltpu.VMEM)
+        if r2flat:
+            # rank-2 flat blocks (see r2flat note above): same
+            # block-index walk, one extra trailing lane dim
+            data_out = pl.BlockSpec(
+                (wrows, 128),
+                lambda b_, i: (b_ * ph3 + jnp.maximum(i - ph1 - ph2, 0),
+                               0),
+                memory_space=pltpu.VMEM)
+        else:
+            data_out = pl.BlockSpec(
+                (w,),
+                lambda b_, i: (b_ * ph3 + jnp.maximum(i - ph1 - ph2, 0),),
+                memory_space=pltpu.VMEM)
     elif real:
         data_out = pl.BlockSpec(
             (rows, h, t),
@@ -1052,8 +1086,15 @@ def _build_phased(n: int, dtype: str = "float32", interpret: bool = False,
             # not tile to ph3*w), so its padding only lines up at b == 1;
             # complex flat tiles exactly and batches (r4)
             assert b == 1 or not real, "flat rfft kernels are single-row"
-            shapes = [jax.ShapeDtypeStruct(
-                (m_flat if b == 1 else b * n,), odt)] * 2
+            if r2flat:
+                # exact block tiling (no partial tail): ph3*wrows rows;
+                # the real form's flat size is n//2 + w >= m_flat and
+                # the caller slices after its ~free rank-1 reshape
+                shapes = [jax.ShapeDtypeStruct(
+                    (b * ph3 * wrows, 128), odt)] * 2
+            else:
+                shapes = [jax.ShapeDtypeStruct(
+                    (m_flat if b == 1 else b * n,), odt)] * 2
         elif real:
             shapes = [jax.ShapeDtypeStruct((b, h, n1), odt)] * 2
             shapes += [jax.ShapeDtypeStruct((b, 1, n2), odt)] * 2
@@ -1136,20 +1177,19 @@ def fused_multilevel_fft(xr, xi, n: int, interpret: bool = False):
         yr, yi = fused_multilevel_fft(xr.astype(jnp.float32),
                                       xi.astype(jnp.float32), n, interpret)
         return yr.astype(xr.dtype), yi.astype(xr.dtype)
-    if (_use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N
-            and (interpret or (not (n & (n - 1)) and n1 >= 1024))):
-        # on chip: pow2 with n1 >= 1024 only — Mosaic's 1-D shape-cast
-        # inference rejects the phase-3 (tk, n1) -> (w,) reshape both
-        # for odd-factor n1 (768) and for small pow2 n1 (256); 1024 and
-        # 2048 lower fine. The interpreter has no such limit, so
-        # interpret mode keeps flat-path CPU test coverage at all sizes
+    if _use_phased(n, bt) and batch == () and n <= _PHASED_FLAT_MAX_N:
         # rank-1 single transform: phase 3 emits the natural-order flat
         # (n,) planes straight from the second VMEM scratch — no
-        # (1, n2, n1) -> (n,) XLA relayout on the way out (same design
-        # as the flat rfft; rank-1 is the sublane-dense layout)
+        # (1, n2, n1) -> (n,) XLA relayout on the way out. n1 with
+        # n1 % 1024 != 0 (smooth odd, small pow2) emits rank-2
+        # (w//128, 128) blocks instead (Mosaic rejects their 1-D
+        # shape-cast) and the caller's reshape costs ~0.5 us
+        # (exp_flatodd.py) — since r5 the flat path serves EVERY
+        # phased-served smooth size, not just pow2 with n1 >= 1024
         run = _build_phased(n, str(xr.dtype), interpret,
                             _kernel_precision(), flat=True)
-        return run(1, ar, ai)
+        yr, yi = run(1, ar, ai)
+        return yr.reshape(n), yi.reshape(n)
     if _use_phased(n, bt):
         # batched rows keep the (b, phases) grid. A lax.scan of the b=1
         # launch is 17-24% faster on PRE-TILED (b, n1, n2) operands
@@ -1249,29 +1289,28 @@ def fused_multilevel_rfft(x, n: int, interpret: bool = False):
         yi = jnp.concatenate([hi.reshape(b, n // 2), ni], axis=-1)
         return (yr.reshape(*batch, n // 2 + 1),
                 yi.reshape(*batch, n // 2 + 1))
-    if (_use_phased(n, bt) and batch == () and n <= (1 << 23)
-            and (interpret
-                 or (not (n & (n - 1)) and _pow2_split(n)[0] >= 1024))):
+    if _use_phased(n, bt) and batch == () and n <= (1 << 23):
         # n cap: flat keeps an f32 C scratch (assert in _build_phased),
         # whose ceiling is 64 MB = 2^23; the 2^24 default octave rides
-        # the tiled real path below with the bf16 scratch instead
-        # chip: pow2 with n1 >= 1024 only (Mosaic's shape-cast
-        # inference rejects the flat reshape for odd or small n1);
-        # interpret mode keeps flat coverage at all sizes
+        # the tiled real path below with the bf16 scratch instead.
         # 1-D single transform: the phased real kernel emits the RANK-1
         # FLAT one-sided planes itself (phase-3 assembly in VMEM
         # scratch) — no reshape/concat epilogue, which cost ~31 us at
-        # 2^20 behind the custom-call boundary. Restricted to rank-1
-        # inputs: reshaping the (m,) result to (1, m) materializes the
-        # sublane-sparse rank-2 layout and costs MORE than the epilogue
-        # it saves (measured 195 vs 164 us at 2^20) — batched and
-        # (1, n)-shaped callers ride the tiled path below. Public
-        # rank-1 rfft at 2^20: 130 us vs 157 for the public complex FFT
-        # (the reference relationship, benchmarks/README.md:68-72).
+        # 2^20 behind the custom-call boundary. n1 % 1024 != 0 sizes
+        # emit rank-2 (w//128, 128) blocks (see the complex flat note);
+        # the caller's reshape + one-sided slice is ~free. Restricted
+        # to rank-1 inputs: reshaping the (m,) result to (1, m)
+        # materializes the sublane-sparse rank-2 layout and costs MORE
+        # than the epilogue it saves (measured 195 vs 164 us at 2^20) —
+        # batched and (1, n)-shaped callers ride the tiled path below.
+        # Public rank-1 rfft at 2^20: 130 us vs 157 for the public
+        # complex FFT (the reference relationship,
+        # benchmarks/README.md:68-72).
         run = _build_phased(n, str(x.dtype), interpret,
                             _kernel_precision(), real=True, flat=True)
         yr, yi = run(1, x.reshape(1, n1, n2))
-        return yr, yi
+        m_flat = n // 2 + 1
+        return yr.reshape(-1)[:m_flat], yi.reshape(-1)[:m_flat]
     if _use_phased(n, bt):
         # batched REAL rows keep the (b, phases) grid: the lax.scan-of-
         # b=1 restructure that wins for complex (exp_batch_scan.py)

@@ -434,15 +434,20 @@ def test_phased_flat_complex_batched_parity(rng):
     run = _build_phased(n, "float32", True, "highest", flat=True)
     yr, yi = run(b, jnp.asarray(xr.reshape(b, n1, n2)),
                  jnp.asarray(xi.reshape(b, n1, n2)))
-    assert np.asarray(yr).shape == (b * n,)
-    got = (np.asarray(yr) + 1j * np.asarray(yi)).reshape(b, n)
+    # n1 = 128 here, so the r5 rank-2 flat form applies: (rows, 128)
+    # blocks whose row-major flatten is the same (b*n,) stream
+    assert np.asarray(yr).size == b * n
+    got = (np.asarray(yr).reshape(b, n)
+           + 1j * np.asarray(yi).reshape(b, n))
     ref = np.fft.fft(xr.astype(np.complex128) + 1j * xi, axis=-1)
     for r in range(b):
         assert snr_db(ref[r], got[r]) > 120.0
     y1r, y1i = run(1, jnp.asarray(xr[:1].reshape(1, n1, n2)),
                    jnp.asarray(xi[:1].reshape(1, n1, n2)))
-    np.testing.assert_array_equal(np.asarray(y1r), np.asarray(yr)[:n])
-    np.testing.assert_array_equal(np.asarray(y1i), np.asarray(yi)[:n])
+    np.testing.assert_array_equal(np.asarray(y1r).reshape(n),
+                                  np.asarray(yr).reshape(b, n)[0])
+    np.testing.assert_array_equal(np.asarray(y1i).reshape(n),
+                                  np.asarray(yi).reshape(b, n)[0])
 
 
 def test_smooth_split_and_parity(rng):
@@ -860,3 +865,40 @@ def test_two_call_bf16_c_intermediate_interpret(rng):
     cr, ci = s1r(1, jnp.asarray(x))
     hr, hi = s2h(1, cr, ci)
     assert hr.shape == (1, n2 // 2, n1) and str(hr.dtype) == "float32"
+
+
+def test_phased_bf16_scratch_parity_interpret(rng):
+    """bf16 C-scratch (the r5 lever that fits 2^24 in the one-call
+    kernel on the default tier): parity within the bf16 quantization
+    floor, f32 outputs. Routed on chip only (_phased_sdt gates
+    interpret to f32), so this drives the builder directly."""
+    import jax.numpy as jnp
+    from kofft_tpu.ops.pallas_kernels import _build_phased, _pow2_split
+    n = 1 << 14
+    n1, n2 = _pow2_split(n)
+    ar = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    ai = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    ref = np.fft.fft(ar.reshape(1, n).astype(np.float64)
+                     + 1j * ai.reshape(1, n).astype(np.float64))
+    run = _build_phased(n, "float32", True, "default", sdt="bfloat16")
+    yr, yi = run(1, jnp.asarray(ar), jnp.asarray(ai))
+    assert str(yr.dtype) == "float32"
+    got = (np.asarray(yr, np.float64)
+           + 1j * np.asarray(yi, np.float64)).reshape(1, n)
+    # interpret-mode 'default' dots are exact f32: the only error is
+    # the bf16 scratch quantization (~50 dB at this size)
+    assert snr_db(ref, got) > 45.0
+    # real variant (tiled real path is what serves 2^24 default rfft)
+    x = rng.standard_normal((1, n1, n2)).astype(np.float32)
+    rref = np.fft.rfft(x.reshape(1, n).astype(np.float64))
+    run = _build_phased(n, "float32", True, "default", real=True,
+                        sdt="bfloat16")
+    hr, hi, c0r, c0i = run(1, jnp.asarray(x))
+    signs = np.where(np.arange(n2) % 2 == 0, 1.0, -1.0)
+    nr = (np.asarray(c0r, np.float64)[:, 0, :] * signs).sum(-1)[:, None]
+    ni = (np.asarray(c0i, np.float64)[:, 0, :] * signs).sum(-1)[:, None]
+    got = (np.concatenate(
+        [np.asarray(hr, np.float64).reshape(1, n // 2), nr], -1)
+        + 1j * np.concatenate(
+            [np.asarray(hi, np.float64).reshape(1, n // 2), ni], -1))
+    assert snr_db(rref, got) > 45.0
